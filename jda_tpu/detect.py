@@ -1,0 +1,336 @@
+"""Multi-scale sliding-window detection.
+
+Semantics follow the reference C API `jdaDetect`
+(/root/reference/c/jda.c:318-480):
+
+  * o/h/q pyramid built once per image (h = 1/sqrt(2), q = 1/2 scale);
+  * window sizes grow from 24 px by `scale`; slide step = int(0.1 * win)
+    (the `step` argument is shadowed in the reference, c/jda.c:333 — we
+    reproduce that: the parameter is accepted and ignored);
+  * every window borrows memory from the pyramid (no per-window resize);
+    patch width is win_size at all three scales (reference quirk);
+  * shape starts at the mean shape; carts are evaluated in lockstep with
+    masked early exit; per-stage regression is a one-hot matmul;
+  * final score threshold, greedy NMS (overlap 0.3), landmark relocation.
+
+TPU-native structure: all (scale, x, y) candidates are enumerated up front
+and evaluated as device batches.  Stage 0 sees every window; survivors are
+compacted on host between stages (cascades reject >99% of windows in the
+first stage, so stages 1+ run on tiny batches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.params import CascadeParams
+from jda_tpu.ops import cascade as C
+from jda_tpu.ops import resize as R
+from jda_tpu.ops import nms as NMS
+
+
+@dataclasses.dataclass
+class DetectionResult:
+    """Mirror of jdaResult (/root/reference/c/jda.h:18-24)."""
+
+    n: int
+    landmark_n: int
+    bboxes: np.ndarray  # [n, 3] int32 (x, y, size)
+    shapes: np.ndarray  # [n, 2L] float32, absolute image coords
+    scores: np.ndarray  # [n] float32
+
+
+def enumerate_windows(
+    img_w: int,
+    img_h: int,
+    scale: float,
+    min_size: int,
+    max_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All candidate (x, y, win) in the reference's scan order
+    (c/jda.c:331-339: win outer, y middle, x inner; step = int(win*0.1))."""
+    xs: List[np.ndarray] = []
+    ys: List[np.ndarray] = []
+    ws: List[np.ndarray] = []
+    win = 24
+    scale32 = np.float32(scale)
+    while win < min_size:
+        win = int(np.float32(win) * scale32)
+    while win <= max_size:
+        step = int(np.float32(win) * np.float32(0.1))
+        step = max(step, 1)
+        yy = np.arange(0, img_h - win + 1, step, dtype=np.int32)
+        xx = np.arange(0, img_w - win + 1, step, dtype=np.int32)
+        if len(yy) and len(xx):
+            gy, gx = np.meshgrid(yy, xx, indexing="ij")
+            xs.append(gx.reshape(-1))
+            ys.append(gy.reshape(-1))
+            ws.append(np.full(gx.size, win, np.int32))
+        win = int(np.float32(win) * scale32)
+    if not xs:
+        z = np.zeros((0,), np.int32)
+        return z, z, z
+    return np.concatenate(xs), np.concatenate(ys), np.concatenate(ws)
+
+
+def window_geometry(
+    x: np.ndarray,
+    y: np.ndarray,
+    win: np.ndarray,
+    offsets: np.ndarray,
+    strides: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Per-window flat base/stride/patch dims for the three pyramid levels.
+
+    Matches the borrowed-memory patches of c/jda.c:340-354: level o at
+    (x, y); level h at (int(x*r), int(y*r)) with r = 1/sqrt(2) in float32;
+    level q at (x/2, y/2); all three claim width = height = win.
+    """
+    n = x.shape[0]
+    r = np.float32(1.0) / np.float32(math.sqrt(2.0))
+    hx = (x.astype(np.float32) * r).astype(np.int32)
+    hy = (y.astype(np.float32) * r).astype(np.int32)
+    qx = x // 2
+    qy = y // 2
+    base = np.stack(
+        [
+            offsets[0] + y.astype(np.int64) * strides[0] + x,
+            offsets[1] + hy.astype(np.int64) * strides[1] + hx,
+            offsets[2] + qy.astype(np.int64) * strides[2] + qx,
+        ],
+        axis=1,
+    ).astype(np.int32)
+    stride = np.broadcast_to(strides[None, :], (n, 3)).astype(np.int32)
+    pw = np.broadcast_to(win[:, None], (n, 3)).astype(np.int32)
+    return {"base": base, "stride": stride, "pw": pw, "ph": pw.copy()}
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Detector:
+    """TPU detector over a loaded cascade (API of c/jda.h:62-63)."""
+
+    def __init__(self, params: CascadeParams, final_th_default: float = 0.0):
+        self.params = params
+        self.dev = params.device_arrays(np.float32)
+        self.T = params.T
+        self.K = params.K
+        self.depth = params.tree_depth
+        self.leaf_n = params.leaf_n
+        self.final_th_default = final_th_default
+        self._stage_jit = jax.jit(
+            self._stage_impl, static_argnames=("depth", "rounding")
+        )
+        self._regress_jit = jax.jit(self._regress_impl, static_argnames=("leaf_n",))
+
+    @staticmethod
+    def _stage_impl(sp, flat_img, state, *, depth, rounding):
+        return C.run_cart_chunk(sp, flat_img, state, depth=depth, rounding=rounding)
+
+    @staticmethod
+    def _regress_impl(W_t, leaves, state, *, leaf_n):
+        return C.apply_regression(W_t, leaves, state, leaf_n=leaf_n)
+
+    # -- core batched evaluation ------------------------------------------
+
+    def _run_batch(
+        self,
+        flat_img: jnp.ndarray,
+        geom: Dict[str, np.ndarray],
+        valid_n: int,
+        rounding: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Run all stages on one geometry batch, compacting between stages.
+
+        Returns host arrays: score [valid_n], alive [valid_n], shape
+        [valid_n, 2L], nvis [valid_n] (indexed in original window order).
+        """
+        n_total = geom["base"].shape[0]
+        L2 = self.params.landmark_dim
+
+        # results in original order
+        out_score = np.full(n_total, -np.inf, np.float32)
+        out_alive = np.zeros(n_total, bool)
+        out_shape = np.zeros((n_total, L2), np.float32)
+        out_nvis = np.zeros(n_total, np.int32)
+
+        if valid_n == 0:
+            return {
+                "score": out_score,
+                "alive": out_alive,
+                "shape": out_shape,
+                "nvis": out_nvis,
+            }
+
+        # live index set (into original window order)
+        live_idx = np.arange(valid_n, dtype=np.int64)
+        state_h = None  # host-side live state between stages
+
+        for t in range(self.T):
+            m = len(live_idx)
+            if m == 0:
+                break
+            b = _bucket(m)
+            pad = b - m
+
+            def padgeom(a, fill=0):
+                a = a[live_idx]
+                if pad:
+                    a = np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+                return jnp.asarray(a)
+
+            base = padgeom(geom["base"])
+            stride = padgeom(geom["stride"], 1)
+            pw = padgeom(geom["pw"], 1)
+            ph = padgeom(geom["ph"], 1)
+            valid = jnp.asarray(
+                np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+            )
+
+            if t == 0:
+                state = C.init_state(
+                    b, self.dev["mean_shape"], base, stride, pw, ph, valid
+                )
+            else:
+                def padf(a, fill=0.0):
+                    if pad:
+                        a = np.concatenate(
+                            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+                        )
+                    return jnp.asarray(a)
+
+                state = {
+                    "shape": padf(state_h["shape"]),
+                    "score": padf(state_h["score"]),
+                    "alive": valid,
+                    "nvis": padf(state_h["nvis"]),
+                    "base": base,
+                    "stride": stride,
+                    "pw": pw,
+                    "ph": ph,
+                }
+
+            sp = C.stage_params(self.dev, t)
+            state, leaves = self._stage_jit(
+                sp, flat_img, state, depth=self.depth, rounding=rounding
+            )
+            state = self._regress_jit(
+                self.dev["W"][t], leaves, state, leaf_n=self.leaf_n
+            )
+
+            alive = np.asarray(state["alive"])[:m]
+            score = np.asarray(state["score"])[:m]
+            shape = np.asarray(state["shape"])[:m]
+            nvis = np.asarray(state["nvis"])[:m]
+
+            # record rejected lanes' final values; keep survivors live
+            out_score[live_idx] = score
+            out_shape[live_idx] = shape
+            out_nvis[live_idx] = nvis
+            keep = alive
+            out_alive[live_idx] = keep
+
+            live_idx = live_idx[keep]
+            state_h = {
+                "shape": shape[keep],
+                "score": score[keep],
+                "nvis": nvis[keep],
+            }
+
+        return {
+            "score": out_score,
+            "alive": out_alive,
+            "shape": out_shape,
+            "nvis": out_nvis,
+        }
+
+    # -- public API --------------------------------------------------------
+
+    def detect(
+        self,
+        gray: np.ndarray,
+        scale: float = 1.25,
+        step: float = 0.1,
+        min_size: int = 24,
+        max_size: int = -1,
+        th: Optional[float] = None,
+        nms_overlap: float = 0.3,
+        batch: int = 1 << 15,
+    ) -> DetectionResult:
+        """jdaDetect-compatible detection (c/jda.c:443-480)."""
+        assert gray.dtype == np.uint8 and gray.ndim == 2
+        if th is None:
+            th = self.final_th_default
+        img_h, img_w = gray.shape
+        o, h, q = R.pyramid_c(gray)
+        flat, offsets, strides = R.stack_pyramid((o, h, q))
+        flat_dev = jnp.asarray(flat)
+
+        min_size = max(min_size, 24)
+        if max_size <= 0:
+            max_size = min(img_w, img_h)
+        max_size = min(max_size, img_w, img_h)
+
+        x, y, win = enumerate_windows(img_w, img_h, scale, min_size, max_size)
+        n = len(x)
+        L2 = self.params.landmark_dim
+        if n == 0:
+            return DetectionResult(
+                0,
+                self.params.landmark_n,
+                np.zeros((0, 3), np.int32),
+                np.zeros((0, L2), np.float32),
+                np.zeros((0,), np.float32),
+            )
+
+        scores = np.zeros(n, np.float32)
+        alive = np.zeros(n, bool)
+        shapes = np.zeros((n, L2), np.float32)
+        for s0 in range(0, n, batch):
+            s1 = min(s0 + batch, n)
+            geom = window_geometry(
+                x[s0:s1], y[s0:s1], win[s0:s1], offsets, strides
+            )
+            res = self._run_batch(flat_dev, geom, s1 - s0)
+            scores[s0:s1] = res["score"]
+            alive[s0:s1] = res["alive"]
+            shapes[s0:s1] = res["shape"]
+
+        keep = alive & (scores >= th)  # final threshold (c/jda.c:413-414)
+        cand = np.flatnonzero(keep)
+        bboxes = np.stack([x[cand], y[cand], win[cand]], axis=1).astype(np.int32)
+        cscores = scores[cand]
+        cshapes = shapes[cand]
+
+        picked = NMS.nms_c(bboxes, cscores, nms_overlap)
+        bboxes = bboxes[picked]
+        cscores = cscores[picked]
+        cshapes = cshapes[picked]
+
+        # landmark relocation (c/jda.c:465-474)
+        sz = bboxes[:, 2:3].astype(np.float32)
+        ox = bboxes[:, 0:1].astype(np.float32)
+        oy = bboxes[:, 1:2].astype(np.float32)
+        out = cshapes.copy()
+        out[:, 0::2] = out[:, 0::2] * sz + ox
+        out[:, 1::2] = out[:, 1::2] * sz + oy
+
+        return DetectionResult(
+            len(picked), self.params.landmark_n, bboxes, out, cscores
+        )
+
+
+def detect(params: CascadeParams, gray: np.ndarray, **kw) -> DetectionResult:
+    """One-shot functional API."""
+    return Detector(params).detect(gray, **kw)

@@ -1,0 +1,243 @@
+"""Lockstep batched cascade forward.
+
+The reference evaluates one window at a time with branchy early exit
+(C++ JoinCascador::Validate, /root/reference/src/jda/cascador.cpp:166-211;
+C inner loop /root/reference/c/jda.c:360-414).  Here a *batch* of N candidate
+windows traverses the cascade together:
+
+  * tree descent is branchless: node = 2*node + 1 + (feat > th), three steps
+    for depth-4 carts, with per-window node parameters gathered from the
+    flattened SoA model;
+  * the shape-indexed pixel-difference feature is two uint8 gathers from a
+    flat stacked pyramid buffer (flat_idx = base + y*stride + x);
+  * early exit becomes a sticky `alive` mask (rejected lanes stop updating);
+    callers compact survivors between cart chunks / stages;
+  * the per-stage shape update is onehot(lbf) x W — an MXU matmul
+    (replacing the weight-row sums of btcart.cpp:407-424 / c/jda.c:403-411).
+
+Window geometry is fully general so one kernel serves both reference
+semantics:
+  * C path (c/jda.c:340-354): windows borrow memory from full pyramid
+    images, patch "width" = win_size at every scale (a reference quirk we
+    reproduce deliberately), coordinates truncated toward zero;
+  * C++ path (cascador.cpp:216-262, data.cpp:18-58): per-sample resized
+    patches (o/h/q sizes), true per-scale dimensions, coordinates rounded
+    half-away-from-zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """C++ round(): half away from zero (data.cpp:48-51 uses std::round)."""
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+
+def trunc_toward_zero(x: jnp.ndarray) -> jnp.ndarray:
+    """C (int) cast (c/jda.c:378-381)."""
+    return x.astype(jnp.int32)
+
+
+def init_state(
+    n: int,
+    mean_shape: jnp.ndarray,
+    base: jnp.ndarray,
+    stride: jnp.ndarray,
+    pw: jnp.ndarray,
+    ph: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Fresh window state: shape = mean shape (shift_size=0 detection path,
+    c/jda.c:361 / test.cpp:17,75)."""
+    L2 = mean_shape.shape[-1]
+    return {
+        "shape": jnp.broadcast_to(mean_shape, (n, L2)).astype(jnp.float32),
+        "score": jnp.zeros((n,), jnp.float32),
+        "alive": valid.astype(bool),
+        "nvis": jnp.zeros((n,), jnp.int32),
+        "base": base.astype(jnp.int32),
+        "stride": stride.astype(jnp.int32),
+        "pw": pw.astype(jnp.int32),
+        "ph": ph.astype(jnp.int32),
+    }
+
+
+def _gather_scale_geom(state, sc):
+    """Per-window geometry of the pyramid level chosen by each node."""
+    sel = sc[:, None]
+    base = jnp.take_along_axis(state["base"], sel, 1)[:, 0]
+    stride = jnp.take_along_axis(state["stride"], sel, 1)[:, 0]
+    pw = jnp.take_along_axis(state["pw"], sel, 1)[:, 0]
+    ph = jnp.take_along_axis(state["ph"], sel, 1)[:, 0]
+    return base, stride, pw, ph
+
+
+def _pixel(flat_img, base, stride, x, y):
+    return jnp.take(flat_img, base + y * stride + x).astype(jnp.int32)
+
+
+def cart_forward(
+    cart: Dict[str, jnp.ndarray],
+    flat_img: jnp.ndarray,
+    state: Dict[str, jnp.ndarray],
+    *,
+    depth: int,
+    rounding: bool,
+) -> jnp.ndarray:
+    """Descend one cart for the whole batch; returns leaf index [N] in [0, 2^(d-1))."""
+    n = state["shape"].shape[0]
+    L = state["shape"].shape[1] // 2
+    shape_xy = state["shape"].reshape(n, L, 2)
+    to_int = round_half_away if rounding else trunc_toward_zero
+
+    node = jnp.zeros((n,), jnp.int32)
+    for _ in range(depth - 1):
+        sc = cart["scale"][node]  # [N]
+        th = cart["feat_th"][node]
+        base, stride, pw, ph = _gather_scale_geom(state, sc)
+        pwf = pw.astype(jnp.float32)
+        phf = ph.astype(jnp.float32)
+
+        def sample_point(lmk, off):
+            l = lmk[node]  # [N]
+            o = off[node]  # [N, 2]
+            pt = jnp.take_along_axis(shape_xy, l[:, None, None], 1)[:, 0]  # [N,2]
+            x = to_int((pt[:, 0] + o[:, 0]) * pwf)
+            y = to_int((pt[:, 1] + o[:, 1]) * phf)
+            x = jnp.clip(x, 0, pw - 1)
+            y = jnp.clip(y, 0, ph - 1)
+            return _pixel(flat_img, base, stride, x, y)
+
+        v1 = sample_point(cart["lmk1"], cart["off1"])
+        v2 = sample_point(cart["lmk2"], cart["off2"])
+        val = v1 - v2
+        node = 2 * node + 1 + (val > th).astype(jnp.int32)
+
+    leaf_base = (1 << (depth - 1)) - 1
+    return node - leaf_base
+
+
+def run_cart_chunk(
+    chunk: Dict[str, jnp.ndarray],
+    flat_img: jnp.ndarray,
+    state: Dict[str, jnp.ndarray],
+    *,
+    depth: int,
+    rounding: bool,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Scan a contiguous run of carts (no regression at the end).
+
+    chunk fields are stacked [C, ...]; returns (state, leaves [N, C] int32).
+    Scoring follows c/jda.c:395-399 exactly: score += leaf score, then
+    score = (score - mean) / std, then reject if score < cart_th.
+    """
+
+    def body(carry, cart):
+        shape, score, alive, nvis = carry
+        st = dict(state)
+        st["shape"] = shape
+        leaf = cart_forward(cart, flat_img, st, depth=depth, rounding=rounding)
+        new_score = (score + cart["leaf_scores"][leaf] - cart["mean"]) / cart["std"]
+        score = jnp.where(alive, new_score, score)
+        nvis = nvis + alive.astype(jnp.int32)
+        alive = alive & (score >= cart["cart_th"])
+        return (shape, score, alive, nvis), leaf
+
+    carry = (state["shape"], state["score"], state["alive"], state["nvis"])
+    carry, leaves = jax.lax.scan(body, carry, chunk)
+    out = dict(state)
+    out["shape"], out["score"], out["alive"], out["nvis"] = carry
+    return out, leaves.T.astype(jnp.int32)
+
+
+def apply_regression(
+    W_t: jnp.ndarray,  # [K*leaf_n, 2L]
+    leaves: jnp.ndarray,  # [N, K]
+    state: Dict[str, jnp.ndarray],
+    *,
+    leaf_n: int,
+    exact: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Per-stage shape update from local binary features.
+
+    exact=True replays the reference's arithmetic bit-for-bit: the K weight
+    rows are added onto the shape *sequentially* in float32
+    (c/jda.c:403-411), which matters because downstream feature coordinates
+    are truncated to ints — a tree-reduction sum can differ by ~1 ulp and
+    flip a truncation boundary.  exact=False uses the MXU one-hot matmul
+    (faster, ~1e-7 relative difference).
+
+    Only stage survivors receive the update (rejected windows stop moving,
+    matching the reference's goto-next).
+    """
+    n, K = leaves.shape
+    L2 = W_t.shape[-1]
+    Wk = W_t.reshape(K, leaf_n, L2)
+    if exact:
+        def body(shape, xs):
+            wk, leaf = xs  # wk [leaf_n, L2], leaf [N]
+            return shape + wk[leaf], None
+
+        new_shape, _ = jax.lax.scan(body, state["shape"], (Wk, leaves.T))
+    else:
+        onehot = jax.nn.one_hot(leaves, leaf_n, dtype=W_t.dtype)  # [N, K, leaf_n]
+        delta = jnp.einsum(
+            "nkl,kld->nd", onehot, Wk, preferred_element_type=jnp.float32
+        )
+        new_shape = state["shape"] + delta
+    out = dict(state)
+    out["shape"] = jnp.where(state["alive"][:, None], new_shape, state["shape"])
+    return out
+
+
+def stage_params(dev: Dict[str, jnp.ndarray], t) -> Dict[str, jnp.ndarray]:
+    """Slice the SoA model to one stage's cart chunk (all K carts)."""
+    return {
+        "scale": dev["scale"][t],
+        "lmk1": dev["lmk1"][t],
+        "lmk2": dev["lmk2"][t],
+        "off1": dev["off1"][t],
+        "off2": dev["off2"][t],
+        "feat_th": dev["feat_th"][t],
+        "leaf_scores": dev["leaf_scores"][t],
+        "cart_th": dev["cart_th"][t],
+        "mean": dev["mean"][t],
+        "std": dev["std"][t],
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "rounding", "leaf_n", "T", "exact")
+)
+def cascade_full(
+    dev: Dict[str, jnp.ndarray],
+    flat_img: jnp.ndarray,
+    state: Dict[str, jnp.ndarray],
+    *,
+    depth: int,
+    rounding: bool,
+    leaf_n: int,
+    T: int,
+    exact: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """All T stages on one batch, no compaction (reference-faithful scoring).
+
+    Host pipelines (Detector) instead run stage-by-stage with survivor
+    compaction; this single-program variant backs tests, mining validation,
+    and the graft entry point.
+    """
+    for t in range(T):
+        sp = stage_params(dev, t)
+        state, leaves = run_cart_chunk(
+            sp, flat_img, state, depth=depth, rounding=rounding
+        )
+        state = apply_regression(
+            dev["W"][t], leaves, state, leaf_n=leaf_n, exact=exact
+        )
+    return state

@@ -1,0 +1,118 @@
+"""End-to-end detection parity against the compiled reference C library.
+
+The reference C library hard-codes T=5, K=540, landmark_n=27, depth=4
+(c/jda.c:24-32), so these fixtures use synthetic models of exactly that
+geometry (the shipped trained blob was stripped from the snapshot).
+The TPU path is designed to be arithmetically identical in float32 (same
+op order, truncations, clamps), so we require the exact same box set and
+near-identical scores/landmarks.
+"""
+
+import numpy as np
+import pytest
+
+from jda_tpu import params as P
+from jda_tpu import oracle
+from jda_tpu.detect import Detector
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="reference not mounted"
+)
+
+
+def _rand_image(h, w, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
+    # smooth-ish texture so pixel differences aren't pure salt-and-pepper
+    img = np.kron(base, np.ones((8, 8), np.float32))[:h, :w]
+    noise = rng.normal(0, 12, (h, w))
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+def _run_both(model_seed, img_seed, reject_rate, th, h=96, w=128, tmp_path=None):
+    m = P.synthetic_model(
+        T=oracle.T,
+        K=oracle.K,
+        landmark_n=oracle.LANDMARK_N,
+        seed=model_seed,
+        reject_rate=reject_rate,
+    )
+    path = str(tmp_path / "m.model")
+    P.save_model(m, path, dtype="double")
+    img = _rand_image(h, w, img_seed)
+
+    orc = oracle.Oracle(path, dtype="double")
+    ob, os_, osc = orc.detect(img, scale=1.25, min_size=24, max_size=-1, th=th)
+    del orc
+
+    det = Detector(P.load_model(path, dtype="double"))
+    res = det.detect(img, scale=1.25, min_size=24, max_size=-1, th=th)
+    return (ob, os_, osc), (res.bboxes, res.shapes, res.scores)
+
+
+def _assert_match(oracle_out, ours):
+    ob, osh, osc = oracle_out
+    tb, tsh, tsc = ours
+    assert tb.shape == ob.shape, f"box count: ours {len(tb)} vs oracle {len(ob)}"
+    np.testing.assert_array_equal(tb, ob)
+    np.testing.assert_allclose(tsc, osc, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(tsh, osh, rtol=0, atol=2e-3)
+
+
+def test_parity_no_rejection(tmp_path):
+    # every window survives all 2700 carts; strictest test of scoring,
+    # regression, final threshold, NMS, and output ordering
+    out = _run_both(10, 11, reject_rate=0.0, th=5.0, h=64, w=72, tmp_path=tmp_path)
+    _assert_match(*out)
+    assert out[0][0].shape[0] > 0  # test actually detected something
+
+
+def test_parity_with_rejection(tmp_path):
+    # realistic cascade behaviour: most windows rejected early
+    out = _run_both(12, 13, reject_rate=0.10, th=-10.0, h=96, w=128, tmp_path=tmp_path)
+    _assert_match(*out)
+
+
+def test_parity_multiscale_features(tmp_path):
+    """Multi-scale features exercise the h/q borrowed-window quirk.
+
+    NOTE: for multi-scale models the reference C detector is *undefined
+    behaviour* near the bottom image edge — ps[1]/ps[2] claim width =
+    win_size (c/jda.c:347-352) so reads at h_y + py can run past the
+    half/quarter buffer's end into unrelated heap memory.  In-row (x)
+    overflow wraps deterministically into the next row, which we reproduce
+    via the flat stacked pyramid; past-the-buffer reads cannot be
+    reproduced.  The shipped model config has multi_scale=false, so this
+    path never runs in practice.  We therefore require parity on all boxes
+    except a small bottom-edge tail.
+    """
+    m = P.synthetic_model(
+        T=oracle.T,
+        K=oracle.K,
+        landmark_n=oracle.LANDMARK_N,
+        seed=14,
+        multi_scale=True,
+        reject_rate=0.05,
+    )
+    path = str(tmp_path / "m.model")
+    P.save_model(m, path, dtype="double")
+    img_h, img_w = 192, 128
+    img = _rand_image(img_h, img_w, 15)
+
+    # max_size=24 pins win=24; quarter-level reads stay inside the buffer
+    # for y <= img_h - 24/0.5 (q) and 24/0.293 (h): safe zone y <= img_h-82.
+    # An extra 24 px margin removes NMS coupling with unsafe-band boxes.
+    safe_y = img_h - 82 - 24
+
+    orc = oracle.Oracle(path, dtype="double")
+    ob, osh, osc = orc.detect(img, scale=1.3, min_size=24, max_size=24, th=-10.0)
+    del orc
+    det = Detector(P.load_model(path, dtype="double"))
+    r = det.detect(img, scale=1.3, min_size=24, max_size=24, th=-10.0)
+
+    om = ob[:, 1] <= safe_y
+    tm = r.bboxes[:, 1] <= safe_y
+    assert om.sum() > 0
+    np.testing.assert_array_equal(r.bboxes[tm], ob[om])
+    np.testing.assert_allclose(r.scores[tm], osc[om], atol=2e-4)
+    np.testing.assert_allclose(r.shapes[tm], osh[om], atol=2e-3)
