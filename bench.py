@@ -1,0 +1,84 @@
+"""Detection throughput benchmark: TPU detector vs reference single core.
+
+Measures end-to-end `detect` (pyramid + window enumeration + full cascade +
+NMS + landmark relocation) on a VGA image with a flagship-geometry model
+(T=5, K=540, 27 landmarks, depth 4 — /root/reference/c/jda.c:24-32).  The
+baseline is the reference C library (c/jda.c) compiled locally and run
+single-core on this machine's CPU, per BASELINE.md (the reference publishes
+no absolute numbers).  Both sides run the same synthetic model (the shipped
+trained blob was stripped from the snapshot) with realistic per-cart early
+rejection, the same image, and identical detect parameters.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def make_image(h, w, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))[:h, :w]
+    noise = rng.normal(0, 12, (h, w))
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+def main():
+    from jda_tpu import params as P
+    from jda_tpu.detect import Detector
+    from jda_tpu import oracle
+
+    H, W = 480, 640
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    kw = dict(scale=1.25, min_size=24, max_size=-1, th=-0.5)
+
+    model = P.synthetic_model(
+        T=5, K=540, landmark_n=27, seed=7, reject_rate=0.15
+    )
+    img = make_image(H, W, seed=3)
+
+    det = Detector(model)
+    det.detect(img, **kw)  # warmup: compile every stage bucket
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res = det.detect(img, **kw)
+    ours_ips = REPS / (time.perf_counter() - t0)
+
+    vs = None
+    if oracle.available():
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            mp = os.path.join(d, "bench.model")
+            P.save_model(model, mp, dtype="double")
+            orc = oracle.Oracle(mp, dtype="double")
+            orc.detect(img, **kw)  # warmup/IO
+            t0 = time.perf_counter()
+            oreps = max(1, REPS // 2)
+            for _ in range(oreps):
+                orc.detect(img, **kw)
+            ref_ips = oreps / (time.perf_counter() - t0)
+            del orc
+        vs = ours_ips / ref_ips
+
+    print(
+        json.dumps(
+            {
+                "metric": "VGA images/sec, full detect (synthetic T=5 K=540 cascade)",
+                "value": round(ours_ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Device split search: the training inner loop.
+
+The reference scans 511-bin weighted histograms per candidate feature in an
+OpenMP loop (Cart::SplitNodeWithClassification,
+/root/reference/src/jda/cart.cpp:176-252) and per-feature sorted percentile
+thresholds for regression (SplitNodeWithRegression, cart.cpp:288-350).
+Here both are single fused tensor programs:
+
+  * classification: one segment-sum builds all F x 511 weighted histograms,
+    a cumulative sum turns them into every possible (feature, threshold)
+    split, and a masked reduction picks the minimum-entropy pair;
+  * regression: a batched sort + gather picks each feature's random
+    percentile threshold, and masked moment sums give the size-weighted
+    residual-variance objective.
+
+Tie-breaking matches the reference scan order (first feature / first
+threshold achieving the minimum wins; thresholds must be *strictly* better
+than the parent to be taken).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NBINS = 511  # feature values live in [-255, 255] (cart.cpp:194-199)
+
+
+def _entropy(p: jnp.ndarray) -> jnp.ndarray:
+    """calcEntropy (cart.cpp:166-171): 0 at the degenerate ends."""
+    safe = jnp.clip(p, 1e-12, 1.0 - 1e-12)
+    h = -(safe * jnp.log(safe) + (1.0 - safe) * jnp.log(1.0 - safe)) / jnp.log(
+        2.0
+    )
+    degenerate = (jnp.abs(p) < 1e-9) | (jnp.abs(1.0 - p) < 1e-9)
+    return jnp.where(degenerate, 0.0, h)
+
+
+def _hists(vals: jnp.ndarray, w: jnp.ndarray, valid: jnp.ndarray):
+    """[F, 511] weight and count histograms from a [M, F] value matrix."""
+    M, F = vals.shape
+    bins = jnp.clip(vals + 255, 0, NBINS - 1)
+    ids = bins + jnp.arange(F, dtype=jnp.int32)[None, :] * NBINS  # [M, F]
+    data = jnp.stack(
+        [
+            jnp.broadcast_to(w[:, None], (M, F)),
+            jnp.broadcast_to(valid.astype(jnp.float32)[:, None], (M, F)),
+        ],
+        axis=-1,
+    )  # [M, F, 2]
+    seg = jax.ops.segment_sum(
+        data.reshape(M * F, 2),
+        ids.reshape(M * F),
+        num_segments=F * NBINS,
+    ).reshape(F, NBINS, 2)
+    return seg[..., 0], seg[..., 1]
+
+
+def classification_split_from_hists(
+    wp: jnp.ndarray,  # [F, 511] summed positive weights per bin
+    cp: jnp.ndarray,  # [F, 511] positive counts per bin
+    wn: jnp.ndarray,
+    cn: jnp.ndarray,
+    pos_n: jnp.ndarray,  # scalar f32
+    neg_n: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decision half of the classification split — on multi-chip meshes the
+    histograms arrive psum'd over the sample axis (SURVEY.md §2 P1/P2)."""
+    wp_tot = jnp.sum(wp, axis=1, keepdims=True)  # [F, 1]
+    wn_tot = jnp.sum(wn, axis=1, keepdims=True)
+    w_tot = wp_tot + wn_tot
+
+    wp_l = jnp.cumsum(wp, axis=1)  # inclusive: th = bin - 255
+    wn_l = jnp.cumsum(wn, axis=1)
+    cp_l = jnp.cumsum(cp, axis=1)
+    cn_l = jnp.cumsum(cn, axis=1)
+    wp_r = wp_tot - wp_l
+    wn_r = wn_tot - wn_l
+    w_l = wp_l + wn_l
+    w_r = wp_r + wn_r
+
+    # child fraction constraints (cart.cpp:225-228); an empty side passes
+    # vacuously (0/0 is NaN in the reference and NaN fails both comparisons)
+    def ratio_ok(cnt, total):
+        r = cnt / jnp.maximum(total, 1.0)
+        return (total == 0) | ((r >= 0.1) & (r <= 0.9))
+
+    ok = ratio_ok(cp_l, pos_n) & ratio_ok(cn_l, neg_n)
+
+    e = (w_l / w_tot) * _entropy(wp_l / jnp.maximum(w_l, 1e-30)) + (
+        w_r / w_tot
+    ) * _entropy(wp_r / jnp.maximum(w_r, 1e-30))
+    e = jnp.where(ok, e, jnp.inf)
+
+    parent = _entropy(wp_tot[:, 0] / w_tot[:, 0])  # [F]
+    best_e = jnp.min(e, axis=1)
+    best_th = jnp.argmin(e, axis=1).astype(jnp.int32) - 255
+    improved = best_e < parent  # strict (cart.cpp:233)
+    es = jnp.where(improved, best_e, parent)
+    ths = jnp.where(improved, best_th, -256)
+
+    f_idx = jnp.argmin(es).astype(jnp.int32)
+    return f_idx, ths[f_idx], es[f_idx]
+
+
+@jax.jit
+def classification_split(
+    vals_pos: jnp.ndarray,  # [Mp, F] int32
+    w_pos: jnp.ndarray,  # [Mp] f32 (0 on padded lanes)
+    valid_pos: jnp.ndarray,  # [Mp] bool
+    vals_neg: jnp.ndarray,  # [Mn, F] int32
+    w_neg: jnp.ndarray,  # [Mn] f32
+    valid_neg: jnp.ndarray,  # [Mn] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Minimum weighted-entropy (feature, threshold) pair.
+
+    Returns (feature_idx int32, threshold int32, entropy f32); threshold
+    -256 sends every sample right (cart.cpp:186-187).
+    """
+    wp, cp = _hists(vals_pos, w_pos, valid_pos)  # [F, 511] each
+    wn, cn = _hists(vals_neg, w_neg, valid_neg)
+    pos_n = jnp.sum(valid_pos.astype(jnp.float32))
+    neg_n = jnp.sum(valid_neg.astype(jnp.float32))
+    return classification_split_from_hists(wp, cp, wn, cn, pos_n, neg_n)
+
+
+@jax.jit
+def regression_split(
+    vals_pos: jnp.ndarray,  # [Mp, F] int32
+    residual: jnp.ndarray,  # [Mp, 2] f32 (cart-landmark residual, mean frame)
+    has_gt: jnp.ndarray,  # [Mp] bool
+    valid_pos: jnp.ndarray,  # [Mp] bool
+    u: jnp.ndarray,  # [F] f32 random percentiles in [0.1, 0.9)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Minimum size-weighted residual-variance split (cart.cpp:288-350).
+
+    Thresholds are each feature's value at a random percentile of the
+    sorted positives; variance counts only samples with a gt shape.
+    Returns (feature_idx, threshold, variance).
+    """
+    Mp, F = vals_pos.shape
+    pos_n = jnp.sum(valid_pos.astype(jnp.int32))
+
+    # padded lanes sort to the end; the percentile index stays < pos_n
+    big = jnp.where(valid_pos[:, None], vals_pos, jnp.int32(32767))
+    sorted_vals = jnp.sort(big, axis=0)  # [Mp, F]
+    idx = (pos_n.astype(jnp.float32) * u).astype(jnp.int32)  # trunc
+    idx = jnp.clip(idx, 0, Mp - 1)
+    th = jnp.take_along_axis(sorted_vals, idx[None, :], axis=0)[0]  # [F]
+
+    gtv = (has_gt & valid_pos).astype(jnp.float32)  # [Mp]
+    left = (vals_pos <= th[None, :]).astype(jnp.float32) * gtv[:, None]
+    right = gtv[:, None] - left  # [Mp, F]
+
+    def side_var(mask):
+        n = jnp.sum(mask, axis=0)  # [F]
+        safe_n = jnp.maximum(n, 1.0)
+        tot = 0.0
+        for d in range(2):
+            r = residual[:, d : d + 1]  # [Mp, 1]
+            m1 = jnp.sum(mask * r, axis=0) / safe_n
+            m2 = jnp.sum(mask * r * r, axis=0) / safe_n
+            tot = tot + jnp.where(n > 0, m2 - m1 * m1, 0.0)
+        return tot, n
+
+    var_l, nl = side_var(left)
+    var_r, nr = side_var(right)
+    metric = var_l * nl + var_r * nr  # [F]
+
+    f_idx = jnp.argmin(metric).astype(jnp.int32)
+    out_f = jnp.where(pos_n > 0, f_idx, 0)
+    out_th = jnp.where(pos_n > 0, th[f_idx], jnp.int32(-256))
+    return out_f, out_th, metric[f_idx]
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_n",))
+def leaf_scores(
+    leaf_pos: jnp.ndarray,  # [Mp] int32 leaf index per positive
+    w_pos: jnp.ndarray,  # [Mp] f32 (0 on padded/invalid lanes)
+    leaf_neg: jnp.ndarray,
+    w_neg: jnp.ndarray,
+    *,
+    leaf_n: int,
+    esp: float = 2.2e-16,
+) -> jnp.ndarray:
+    """RealBoost leaf scores 0.5*(log(esp+Σw+) − log(esp+Σw−))
+    (cart.cpp:63-88)."""
+    wp = jax.ops.segment_sum(w_pos, leaf_pos, num_segments=leaf_n) + esp
+    wn = jax.ops.segment_sum(w_neg, leaf_neg, num_segments=leaf_n) + esp
+    return 0.5 * (jnp.log(wp) - jnp.log(wn))
