@@ -119,9 +119,31 @@ def _bucket(n: int, minimum: int = 256) -> int:
 
 
 class Detector:
-    """TPU detector over a loaded cascade (API of c/jda.h:62-63)."""
+    """TPU detector over a loaded cascade (API of c/jda.h:62-63).
 
-    def __init__(self, params: CascadeParams, final_th_default: float = 0.0):
+    Pipeline per geometry batch:
+      1. *prefilter*: the first `prefilter_carts` carts of stage 0 run on
+         every window (wide descent, jda_tpu/ops/cascade.py); survivors are
+         compacted on host.  This recovers the reference's early-exit
+         economics (cascador.cpp:188-191) at lockstep batch granularity —
+         the full 2700-cart cascade then only sees the few % of windows
+         that pass the prefix.
+      2. per stage: full-K wide chunk + score chain + one-hot regression,
+         compacting survivors between stages.
+    Re-running carts [0, prefilter) on survivors is exact: tree descent
+    depends only on the (unchanged within a stage) shape, and the score
+    chain recomputes the identical float sequence from zero.
+    """
+
+    SLAB = 1 << 16  # windows per prefilter dispatch (bounds temp memory)
+    CART_CHUNK = 180  # carts per dispatch (bounds [N, C] temp memory)
+
+    def __init__(
+        self,
+        params: CascadeParams,
+        final_th_default: float = 0.0,
+        prefilter_carts: int = 64,
+    ):
         self.params = params
         self.dev = params.device_arrays(np.float32)
         self.T = params.T
@@ -129,14 +151,41 @@ class Detector:
         self.depth = params.tree_depth
         self.leaf_n = params.leaf_n
         self.final_th_default = final_th_default
+        self.single_scale = bool((params.scale == 0).all())
+        self.prefilter_carts = min(prefilter_carts, self.K)
+        self.pre_chunk = (
+            {
+                k: v[0, : self.prefilter_carts]
+                for k, v in self.dev.items()
+                if k not in ("W", "mean_shape")
+            }
+            if self.T > 0
+            else None
+        )
+        # per-stage cart chunks, pre-sliced on device
+        self.stage_chunks = []
+        for t in range(self.T):
+            sp = C.stage_params(self.dev, t)
+            chunks = []
+            for c0 in range(0, self.K, self.CART_CHUNK):
+                c1 = min(c0 + self.CART_CHUNK, self.K)
+                chunks.append({k: v[c0:c1] for k, v in sp.items()})
+            self.stage_chunks.append(chunks)
         self._stage_jit = jax.jit(
-            self._stage_impl, static_argnames=("depth", "rounding")
+            self._stage_impl, static_argnames=("depth", "rounding", "single_scale")
         )
         self._regress_jit = jax.jit(self._regress_impl, static_argnames=("leaf_n",))
 
     @staticmethod
-    def _stage_impl(sp, flat_img, state, *, depth, rounding):
-        return C.run_cart_chunk(sp, flat_img, state, depth=depth, rounding=rounding)
+    def _stage_impl(sp, flat_img, state, *, depth, rounding, single_scale):
+        return C.run_cart_chunk(
+            sp,
+            flat_img,
+            state,
+            depth=depth,
+            rounding=rounding,
+            single_scale=single_scale,
+        )
 
     @staticmethod
     def _regress_impl(W_t, leaves, state, *, leaf_n):
@@ -176,6 +225,50 @@ class Detector:
         # live index set (into original window order)
         live_idx = np.arange(valid_n, dtype=np.int64)
         state_h = None  # host-side live state between stages
+
+        # phase 1: cart-prefix prefilter over all windows (see class doc)
+        if self.pre_chunk is not None and self.prefilter_carts < self.K:
+            ms_host = np.asarray(self.dev["mean_shape"], np.float32)
+            keep_parts = []
+            for s0 in range(0, valid_n, self.SLAB):
+                s1 = min(s0 + self.SLAB, valid_n)
+                m = s1 - s0
+                b = min(_bucket(m), self.SLAB)
+                pad = b - m
+
+                def padg(a, fill=0):
+                    a = a[s0:s1]
+                    if pad:
+                        a = np.concatenate(
+                            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+                        )
+                    return jnp.asarray(a)
+
+                state = C.init_state(
+                    b,
+                    self.dev["mean_shape"],
+                    padg(geom["base"]),
+                    padg(geom["stride"], 1),
+                    padg(geom["pw"], 1),
+                    padg(geom["ph"], 1),
+                    jnp.asarray(
+                        np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+                    ),
+                )
+                state, _ = self._stage_jit(
+                    self.pre_chunk,
+                    flat_img,
+                    state,
+                    depth=self.depth,
+                    rounding=rounding,
+                    single_scale=self.single_scale,
+                )
+                alive = np.asarray(state["alive"])[:m]
+                out_score[s0:s1] = np.asarray(state["score"])[:m]
+                out_nvis[s0:s1] = np.asarray(state["nvis"])[:m]
+                out_shape[s0:s1] = ms_host[None, :]
+                keep_parts.append(alive)
+            live_idx = live_idx[np.concatenate(keep_parts)]
 
         for t in range(self.T):
             m = len(live_idx)
@@ -221,9 +314,21 @@ class Detector:
                     "ph": ph,
                 }
 
-            sp = C.stage_params(self.dev, t)
-            state, leaves = self._stage_jit(
-                sp, flat_img, state, depth=self.depth, rounding=rounding
+            leaves_parts = []
+            for chunk in self.stage_chunks[t]:
+                state, lv = self._stage_jit(
+                    chunk,
+                    flat_img,
+                    state,
+                    depth=self.depth,
+                    rounding=rounding,
+                    single_scale=self.single_scale,
+                )
+                leaves_parts.append(lv)
+            leaves = (
+                leaves_parts[0]
+                if len(leaves_parts) == 1
+                else jnp.concatenate(leaves_parts, axis=1)
             )
             state = self._regress_jit(
                 self.dev["W"][t], leaves, state, leaf_n=self.leaf_n
@@ -266,7 +371,7 @@ class Detector:
         max_size: int = -1,
         th: Optional[float] = None,
         nms_overlap: float = 0.3,
-        batch: int = 1 << 15,
+        batch: int = 1 << 20,
     ) -> DetectionResult:
         """jdaDetect-compatible detection (c/jda.c:443-480)."""
         assert gray.dtype == np.uint8 and gray.ndim == 2
@@ -275,7 +380,9 @@ class Detector:
         img_h, img_w = gray.shape
         o, h, q = R.pyramid_c(gray)
         flat, offsets, strides = R.stack_pyramid((o, h, q))
-        flat_dev = jnp.asarray(flat)
+        # int32 pixels: TPU gathers from a uint8 source hit a scalar fallback
+        # (~600x slower measured); the pyramid is tiny so widening is free
+        flat_dev = jnp.asarray(flat.astype(np.int32))
 
         min_size = max(min_size, 24)
         if max_size <= 0:

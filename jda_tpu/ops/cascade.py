@@ -123,6 +123,146 @@ def cart_forward(
     return node - leaf_base
 
 
+def _onehot_select(vec: jnp.ndarray, lmk: jnp.ndarray) -> jnp.ndarray:
+    """vec[:, lmk] as a one-hot matmul: [N, L] x [L, C] -> [N, C].
+
+    The selection matrix is one-hot, so with HIGHEST precision the result
+    is bit-exact (products are x*1 / x*0; f32 splitting is lossless) while
+    running on the MXU instead of the TPU's slow scalar-gather path.
+    """
+    L = vec.shape[1]
+    S = (lmk[None, :] == jnp.arange(L, dtype=jnp.int32)[:, None]).astype(
+        vec.dtype
+    )
+    return jnp.dot(vec, S, precision=jax.lax.Precision.HIGHEST)
+
+
+def _bit_select(planes, bits):
+    """Select among 2^len(bits) [N, C] planes by descent bits (MSB first)."""
+    if not bits:
+        return planes[0]
+    half = len(planes) // 2
+    lo = _bit_select(planes[:half], bits[1:])
+    hi = _bit_select(planes[half:], bits[1:])
+    return jnp.where(bits[0], hi, lo)
+
+
+def carts_descend(
+    chunk: Dict[str, jnp.ndarray],
+    flat_img: jnp.ndarray,
+    state: Dict[str, jnp.ndarray],
+    *,
+    depth: int,
+    rounding: bool,
+    single_scale: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Wide tree descent: all C carts x all N windows in parallel.
+
+    Within a stage the trees are *independent* — the running score only
+    gates whether the reference keeps evaluating (cascador.cpp:188-191),
+    never which pixels a tree reads.  So the descent runs depth-1 rounds
+    over an [N, C] frontier; only the cheap score-threshold chain stays
+    sequential (see score_chain).
+
+    TPU mapping: landmark coordinates come from one-hot MXU matmuls, all
+    node-dependent parameters from path-bit selects (VPU), so the ONLY
+    gathers are the 2 pixel reads per visited node — the irreducible
+    random access of the algorithm.  `single_scale=True` (multi_scale off,
+    as in the shipped reference config) skips the per-node pyramid-level
+    select entirely.
+
+    Returns (leaves [N, C], b [N, C]) where b is each cart's leaf score.
+    """
+    C, node_n = chunk["feat_th"].shape
+    shape_x = state["shape"][:, 0::2]  # [N, L]
+    shape_y = state["shape"][:, 1::2]
+    to_int = round_half_away if rounding else trunc_toward_zero
+
+    def node_indices(j):
+        """Flat pixel indices (idx1, idx2) and threshold for candidate
+        node j of every cart — no gathers, [N, C] elementwise + matmul."""
+        if single_scale:
+            base = state["base"][:, 0:1]
+            stride = state["stride"][:, 0:1]
+            pw = state["pw"][:, 0:1]
+            ph = state["ph"][:, 0:1]
+        else:
+            sc = chunk["scale"][:, j][None, :]  # [1, C]
+            def by_scale(a):
+                return jnp.where(
+                    sc == 0,
+                    a[:, 0:1],
+                    jnp.where(sc == 1, a[:, 1:2], a[:, 2:3]),
+                )
+            base = by_scale(state["base"])
+            stride = by_scale(state["stride"])
+            pw = by_scale(state["pw"])
+            ph = by_scale(state["ph"])
+        pwf = pw.astype(jnp.float32)
+        phf = ph.astype(jnp.float32)
+
+        def pt(lmk_col, off_col):
+            px = _onehot_select(shape_x, lmk_col)  # [N, C]
+            py = _onehot_select(shape_y, lmk_col)
+            x = jnp.clip(to_int((px + off_col[None, :, 0]) * pwf), 0, pw - 1)
+            y = jnp.clip(to_int((py + off_col[None, :, 1]) * phf), 0, ph - 1)
+            return base + y * stride + x
+
+        idx1 = pt(chunk["lmk1"][:, j], chunk["off1"][:, j])
+        idx2 = pt(chunk["lmk2"][:, j], chunk["off2"][:, j])
+        return idx1, idx2, jnp.broadcast_to(
+            chunk["feat_th"][:, j][None, :], idx1.shape
+        )
+
+    bits = []  # descent decisions, MSB first
+    for r in range(depth - 1):
+        cands = [node_indices(j) for j in range((1 << r) - 1, (1 << (r + 1)) - 1)]
+        idx1 = _bit_select([c[0] for c in cands], bits)
+        idx2 = _bit_select([c[1] for c in cands], bits)
+        th = _bit_select([c[2] for c in cands], bits)
+        v = jnp.take(flat_img, idx1).astype(jnp.int32) - jnp.take(
+            flat_img, idx2
+        ).astype(jnp.int32)
+        bits.append(v > th)
+
+    leaves = sum(
+        b.astype(jnp.int32) << (depth - 2 - i) for i, b in enumerate(bits)
+    )
+    ls = chunk["leaf_scores"]  # [C, leaf_n]
+    leaf_planes = [
+        jnp.broadcast_to(ls[:, j][None, :], leaves.shape)
+        for j in range(1 << (depth - 1))
+    ]
+    b = _bit_select(leaf_planes, bits)
+    return leaves, b
+
+
+def score_chain(
+    b: jnp.ndarray,  # [N, C] per-cart leaf score contributions
+    chunk: Dict[str, jnp.ndarray],
+    score: jnp.ndarray,  # [N]
+    alive: jnp.ndarray,  # [N]
+    nvis: jnp.ndarray,  # [N]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential score/threshold chain, exact reference op order
+    (c/jda.c:395-399): score += leaf; score = (score-mean)/std; reject if
+    score < th.  C steps of [N]-element adds — cheap next to the descent,
+    and bit-identical to the per-window sequential evaluation."""
+
+    def body(carry, xs):
+        s, al, nv = carry
+        bk, mk, sk, thk = xs
+        s_new = (s + bk - mk) / sk
+        s = jnp.where(al, s_new, s)
+        nv = nv + al.astype(jnp.int32)
+        al = al & (s >= thk)
+        return (s, al, nv), None
+
+    xs = (b.T, chunk["mean"], chunk["std"], chunk["cart_th"])
+    (score, alive, nvis), _ = jax.lax.scan(body, (score, alive, nvis), xs)
+    return score, alive, nvis
+
+
 def run_cart_chunk(
     chunk: Dict[str, jnp.ndarray],
     flat_img: jnp.ndarray,
@@ -130,30 +270,27 @@ def run_cart_chunk(
     *,
     depth: int,
     rounding: bool,
+    single_scale: bool = False,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-    """Scan a contiguous run of carts (no regression at the end).
+    """Run a contiguous run of carts (no regression at the end).
 
     chunk fields are stacked [C, ...]; returns (state, leaves [N, C] int32).
-    Scoring follows c/jda.c:395-399 exactly: score += leaf score, then
-    score = (score - mean) / std, then reject if score < cart_th.
+    Wide parallel descent + sequential score chain (see carts_descend).
     """
-
-    def body(carry, cart):
-        shape, score, alive, nvis = carry
-        st = dict(state)
-        st["shape"] = shape
-        leaf = cart_forward(cart, flat_img, st, depth=depth, rounding=rounding)
-        new_score = (score + cart["leaf_scores"][leaf] - cart["mean"]) / cart["std"]
-        score = jnp.where(alive, new_score, score)
-        nvis = nvis + alive.astype(jnp.int32)
-        alive = alive & (score >= cart["cart_th"])
-        return (shape, score, alive, nvis), leaf
-
-    carry = (state["shape"], state["score"], state["alive"], state["nvis"])
-    carry, leaves = jax.lax.scan(body, carry, chunk)
+    leaves, b = carts_descend(
+        chunk,
+        flat_img,
+        state,
+        depth=depth,
+        rounding=rounding,
+        single_scale=single_scale,
+    )
+    score, alive, nvis = score_chain(
+        b, chunk, state["score"], state["alive"], state["nvis"]
+    )
     out = dict(state)
-    out["shape"], out["score"], out["alive"], out["nvis"] = carry
-    return out, leaves.T.astype(jnp.int32)
+    out["score"], out["alive"], out["nvis"] = score, alive, nvis
+    return out, leaves
 
 
 def apply_regression(
@@ -213,7 +350,8 @@ def stage_params(dev: Dict[str, jnp.ndarray], t) -> Dict[str, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "rounding", "leaf_n", "T", "exact")
+    jax.jit,
+    static_argnames=("depth", "rounding", "leaf_n", "T", "exact", "single_scale"),
 )
 def cascade_full(
     dev: Dict[str, jnp.ndarray],
@@ -225,6 +363,7 @@ def cascade_full(
     leaf_n: int,
     T: int,
     exact: bool = True,
+    single_scale: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """All T stages on one batch, no compaction (reference-faithful scoring).
 
@@ -235,7 +374,12 @@ def cascade_full(
     for t in range(T):
         sp = stage_params(dev, t)
         state, leaves = run_cart_chunk(
-            sp, flat_img, state, depth=depth, rounding=rounding
+            sp,
+            flat_img,
+            state,
+            depth=depth,
+            rounding=rounding,
+            single_scale=single_scale,
         )
         state = apply_regression(
             dev["W"][t], leaves, state, leaf_n=leaf_n, exact=exact

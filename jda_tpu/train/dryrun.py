@@ -42,8 +42,8 @@ def sharded_train_step_dryrun(mesh: Mesh) -> None:
     Mp, Mn = mp_loc * nd, mn_loc * nd
 
     rng = np.random.default_rng(0)
-    flat_pos = rng.integers(0, 256, Mp * D).astype(np.uint8)
-    flat_neg = rng.integers(0, 256, Mn * D).astype(np.uint8)
+    flat_pos = rng.integers(0, 256, Mp * D).astype(np.int32)
+    flat_neg = rng.integers(0, 256, Mn * D).astype(np.int32)
     shapes_pos = rng.uniform(0.2, 0.8, (Mp, 2 * L)).astype(np.float32)
     shapes_neg = rng.uniform(0.2, 0.8, (Mn, 2 * L)).astype(np.float32)
     w_pos = rng.uniform(0.1, 1.0, Mp).astype(np.float32)
