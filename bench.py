@@ -40,7 +40,11 @@ def main():
     kw = dict(scale=1.25, min_size=24, max_size=-1, th=-0.5)
 
     model = P.synthetic_model(
-        T=5, K=540, landmark_n=27, seed=7, reject_rate=0.15
+        T=5,
+        K=540,
+        landmark_n=27,
+        seed=7,
+        drop_profile=P.realistic_drop_profile(5, 540),
     )
     img = make_image(H, W, seed=3)
 

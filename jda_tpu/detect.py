@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from jda_tpu.params import CascadeParams
 from jda_tpu.ops import cascade as C
+from jda_tpu.ops import dense0 as D0
 from jda_tpu.ops import resize as R
 from jda_tpu.ops import nms as NMS
 
@@ -52,12 +53,17 @@ def enumerate_windows(
     scale: float,
     min_size: int,
     max_size: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[Tuple[int, int, int, int]]]:
     """All candidate (x, y, win) in the reference's scan order
-    (c/jda.c:331-339: win outer, y middle, x inner; step = int(win*0.1))."""
+    (c/jda.c:331-339: win outer, y middle, x inner; step = int(win*0.1)).
+
+    Also returns per-scale metadata [(win, step, ny, nx), ...] — the grid
+    shape of each scan scale, consumed by the dense stage-0 filter.
+    """
     xs: List[np.ndarray] = []
     ys: List[np.ndarray] = []
     ws: List[np.ndarray] = []
+    scales: List[Tuple[int, int, int, int]] = []
     win = 24
     scale32 = np.float32(scale)
     while win < min_size:
@@ -72,11 +78,12 @@ def enumerate_windows(
             xs.append(gx.reshape(-1))
             ys.append(gy.reshape(-1))
             ws.append(np.full(gx.size, win, np.int32))
+            scales.append((win, step, len(yy), len(xx)))
         win = int(np.float32(win) * scale32)
     if not xs:
         z = np.zeros((0,), np.int32)
-        return z, z, z
-    return np.concatenate(xs), np.concatenate(ys), np.concatenate(ws)
+        return z, z, z, []
+    return np.concatenate(xs), np.concatenate(ys), np.concatenate(ws), scales
 
 
 def window_geometry(
@@ -175,6 +182,65 @@ class Detector:
             self._stage_impl, static_argnames=("depth", "rounding", "single_scale")
         )
         self._regress_jit = jax.jit(self._regress_impl, static_argnames=("leaf_n",))
+        # host copies of stage-0 params for the dense filter's crop tables
+        if self.T > 0:
+            p32 = params.astype(np.float32)
+            self._host_stage0 = {
+                "lmk1": params.lmk1[0],
+                "lmk2": params.lmk2[0],
+                "off1": p32.off1[0],
+                "off2": p32.off2[0],
+                "feat_th": params.feat_th[0],
+                "leaf_scores": p32.leaf_scores[0],
+                "mean": p32.mean[0],
+                "std": p32.std[0],
+                "cart_th": p32.cart_th[0],
+            }
+            self._ms32 = params.mean_shape.astype(np.float32)
+        self._tab_cache: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+
+    def _dense_filter(
+        self, gray: np.ndarray, scales: List[Tuple[int, int, int, int]]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full stage-0 rejection over all scan scales in one dispatch
+        (ops/dense0.py).  Returns host (score, alive, nvis) in window
+        enumeration order."""
+        # experimental pallas kernel (ops/dense0.py): blocked on Mosaic
+        # tile-alignment for dynamic crop offsets; off by default
+        import os
+
+        use_pallas = (
+            os.environ.get("JDA_TPU_DENSE_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+        )
+        tabs = []
+        for win, step, _, _ in scales:
+            key = (win, step, use_pallas)
+            if key not in self._tab_cache:
+                t = D0.node_tables(self._ms32, self._host_stage0, win, step)
+                if use_pallas:
+                    t = D0.pack_tables(t, self.params.node_n)
+                self._tab_cache[key] = t
+            tabs.append(self._tab_cache[key])
+        if use_pallas:
+            img_dev = jnp.asarray(gray.astype(np.int32))
+            score, alive, nvis = D0.stage0_filter_all_scales_pallas(
+                img_dev,
+                tuple(t[0] for t in tabs),
+                tuple(t[1] for t in tabs),
+                meta=tuple(scales),
+                depth=self.depth,
+            )
+            return np.asarray(score), np.asarray(alive), np.asarray(nvis)
+        img_dev = jnp.asarray(gray.astype(np.int32))[None]
+        score, alive, nvis = D0.stage0_filter_all_scales(
+            img_dev, tuple(tabs), meta=tuple(scales), depth=self.depth
+        )
+        return (
+            np.asarray(score[0]),
+            np.asarray(alive[0]),
+            np.asarray(nvis[0]),
+        )
 
     @staticmethod
     def _stage_impl(sp, flat_img, state, *, depth, rounding, single_scale):
@@ -199,6 +265,7 @@ class Detector:
         geom: Dict[str, np.ndarray],
         valid_n: int,
         rounding: bool = False,
+        dense_result: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     ) -> Dict[str, np.ndarray]:
         """Run all stages on one geometry batch, compacting between stages.
 
@@ -226,8 +293,18 @@ class Detector:
         live_idx = np.arange(valid_n, dtype=np.int64)
         state_h = None  # host-side live state between stages
 
-        # phase 1: cart-prefix prefilter over all windows (see class doc)
-        if self.pre_chunk is not None and self.prefilter_carts < self.K:
+        # phase 1: reject the bulk of windows cheaply.
+        # Preferred: the dense full-stage-0 filter (ops/dense0.py); fallback:
+        # gather-path prefilter over the first prefilter_carts carts.
+        if dense_result is not None:
+            score_d, alive_d, nvis_d = dense_result
+            out_score[:valid_n] = score_d[:valid_n]
+            out_nvis[:valid_n] = nvis_d[:valid_n]
+            out_shape[:valid_n] = np.asarray(self.dev["mean_shape"], np.float32)[
+                None, :
+            ]
+            live_idx = live_idx[alive_d[:valid_n]]
+        elif self.pre_chunk is not None and self.prefilter_carts < self.K:
             ms_host = np.asarray(self.dev["mean_shape"], np.float32)
             keep_parts = []
             for s0 in range(0, valid_n, self.SLAB):
@@ -389,7 +466,7 @@ class Detector:
             max_size = min(img_w, img_h)
         max_size = min(max_size, img_w, img_h)
 
-        x, y, win = enumerate_windows(img_w, img_h, scale, min_size, max_size)
+        x, y, win, scales = enumerate_windows(img_w, img_h, scale, min_size, max_size)
         n = len(x)
         L2 = self.params.landmark_dim
         if n == 0:
@@ -401,18 +478,73 @@ class Detector:
                 np.zeros((0,), np.float32),
             )
 
+        # dense stage-0 filter applies on the truncation-semantics path of
+        # single-scale models (shape == mean shape for every stage-0 window)
+        dense = (
+            self._dense_filter(gray, scales)
+            if (self.single_scale and self.T > 0)
+            else None
+        )
+
         scores = np.zeros(n, np.float32)
         alive = np.zeros(n, bool)
         shapes = np.zeros((n, L2), np.float32)
-        for s0 in range(0, n, batch):
-            s1 = min(s0 + batch, n)
-            geom = window_geometry(
-                x[s0:s1], y[s0:s1], win[s0:s1], offsets, strides
-            )
-            res = self._run_batch(flat_dev, geom, s1 - s0)
-            scores[s0:s1] = res["score"]
-            alive[s0:s1] = res["alive"]
-            shapes[s0:s1] = res["shape"]
+        if dense is not None:
+            # fast path: stage-0 dead windows are done; run every survivor
+            # through the full cascade in ONE device dispatch (cascade_full)
+            score_d, alive_d, _ = dense
+            scores[:] = score_d
+            shapes[:] = np.asarray(self.dev["mean_shape"], np.float32)[None, :]
+            surv = np.flatnonzero(alive_d)
+            geom = window_geometry(x[surv], y[surv], win[surv], offsets, strides)
+            for s0 in range(0, len(surv), self.SLAB):
+                idxs = surv[s0 : s0 + self.SLAB]
+                m = len(idxs)
+                b = min(_bucket(m), self.SLAB)
+                pad = b - m
+
+                def padg(a, fill=0):
+                    a = a[s0 : s0 + m]
+                    if pad:
+                        a = np.concatenate(
+                            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+                        )
+                    return jnp.asarray(a)
+                state = C.init_state(
+                    b,
+                    self.dev["mean_shape"],
+                    padg(geom["base"]),
+                    padg(geom["stride"], 1),
+                    padg(geom["pw"], 1),
+                    padg(geom["ph"], 1),
+                    jnp.asarray(
+                        np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+                    ),
+                )
+                out = C.cascade_full(
+                    self.dev,
+                    flat_dev,
+                    state,
+                    depth=self.depth,
+                    rounding=False,
+                    leaf_n=self.leaf_n,
+                    T=self.T,
+                    exact=True,
+                    single_scale=True,
+                )
+                scores[idxs] = np.asarray(out["score"])[:m]
+                alive[idxs] = np.asarray(out["alive"])[:m]
+                shapes[idxs] = np.asarray(out["shape"])[:m]
+        else:
+            for s0 in range(0, n, batch):
+                s1 = min(s0 + batch, n)
+                geom = window_geometry(
+                    x[s0:s1], y[s0:s1], win[s0:s1], offsets, strides
+                )
+                res = self._run_batch(flat_dev, geom, s1 - s0)
+                scores[s0:s1] = res["score"]
+                alive[s0:s1] = res["alive"]
+                shapes[s0:s1] = res["shape"]
 
         keep = alive & (scores >= th)  # final threshold (c/jda.c:413-414)
         cand = np.flatnonzero(keep)

@@ -1,0 +1,361 @@
+"""Dense stage-0 rejection filter: the cascade as shifted-image arithmetic.
+
+At stage 0 every window's shape is the mean shape (c/jda.c:361; shift_size
+is 0 at detection time, src/test.cpp:17,75), so for a fixed window size the
+feature pixel offsets (xr, yr) = trunc((mean + offset) * win) are THE SAME
+for every window.  A window at grid position (wx, wy) reads
+img[wy + yr, wx + xr] — i.e. each (cart, node, point) is one *shifted crop*
+of the image, and the whole stage-0 cascade over all windows of a scan
+scale becomes dense elementwise arithmetic over shifted crops: zero
+gathers, pure DMA + VPU.  This recovers (and beats) the reference's
+early-exit economics: the full K-cart stage-0 filter costs less than the
+old 64-cart gather prefilter, and >99% of windows die here on a trained
+cascade.
+
+Phase decomposition makes the strided window grid contiguous: with scan
+step s, phases[a*s+b] = img[a::s, b::s], so the grid values of a crop at
+offset (yr, xr) are one dynamic_slice of plane (yr%s)*s + (xr%s) at
+(yr//s, xr//s).
+
+Applicability: single-scale models (multi_scale=false — the shipped
+reference config) on the C-API detect path (truncation semantics).
+Multi-scale or C++-rounding paths fall back to the gather kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.ops.cascade import _bit_select
+
+
+def node_tables(
+    mean_shape_f32: np.ndarray,  # [2L] float32 (must match device dtype)
+    stage: Dict[str, np.ndarray],  # host stage-0 params (f32/int32)
+    win: int,
+    step: int,
+) -> Dict[str, np.ndarray]:
+    """Host-side per-(cart, node, point) crop table for one scan scale.
+
+    Reproduces the C library's coordinate arithmetic exactly
+    (c/jda.c:375-381): float32 (mean + offset) * win, trunc toward zero,
+    clamp to [0, win-1].
+    """
+    ms_x = mean_shape_f32[0::2].astype(np.float32)
+    ms_y = mean_shape_f32[1::2].astype(np.float32)
+    w32 = np.float32(win)
+
+    def point(lmk, off):
+        # lmk [C, 7] int32; off [C, 7, 2] float32
+        px = ms_x[lmk] + off[..., 0].astype(np.float32)
+        py = ms_y[lmk] + off[..., 1].astype(np.float32)
+        xr = np.clip((px * w32).astype(np.int32), 0, win - 1)
+        yr = np.clip((py * w32).astype(np.int32), 0, win - 1)
+        pi = (yr % step) * step + (xr % step)
+        return pi.astype(np.int32), (yr // step).astype(np.int32), (
+            xr // step
+        ).astype(np.int32)
+
+    pi1, u1, v1 = point(stage["lmk1"], stage["off1"])
+    pi2, u2, v2 = point(stage["lmk2"], stage["off2"])
+    return {
+        "pi1": pi1, "u1": u1, "v1": v1,
+        "pi2": pi2, "u2": u2, "v2": v2,
+        "th": stage["feat_th"].astype(np.int32),
+        "ls": stage["leaf_scores"].astype(np.float32),
+        "mean": stage["mean"].astype(np.float32),
+        "std": stage["std"].astype(np.float32),
+        "cth": stage["cart_th"].astype(np.float32),
+    }
+
+
+def _phase_decompose(
+    img: jnp.ndarray, s: int, hp: int = 0, wp: int = 0
+) -> jnp.ndarray:
+    """[B, H, W] -> [B, s*s, Hp, Wp] phase planes (Hp >= ceil(H/s))."""
+    B, H, W = img.shape
+    Hp = max(-(-H // s), hp)
+    Wp = max(-(-W // s), wp)
+    pad = jnp.pad(img, ((0, 0), (0, Hp * s - H), (0, Wp * s - W)))
+    return (
+        pad.reshape(B, Hp, s, Wp, s)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(B, s * s, Hp, Wp)
+    )
+
+
+def _scale_filter(img, tabs, *, step, ny, nx, depth):
+    """One scan scale: returns (score, alive, nvis), each [B, ny, nx]."""
+    B = img.shape[0]
+    ph = _phase_decompose(img, step)
+    node_n = (1 << (depth - 1)) - 1
+
+    def body(carry, x):
+        s, alive, nvis = carry
+
+        def val(j):
+            p1 = jax.lax.dynamic_slice(
+                ph, (0, x["pi1"][j], x["u1"][j], x["v1"][j]), (B, 1, ny, nx)
+            )[:, 0]
+            p2 = jax.lax.dynamic_slice(
+                ph, (0, x["pi2"][j], x["u2"][j], x["v2"][j]), (B, 1, ny, nx)
+            )[:, 0]
+            return p1 - p2
+
+        vals = [val(j) for j in range(node_n)]
+        bits = []
+        for r in range(depth - 1):
+            planes = [
+                vals[j] > x["th"][j]
+                for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+            ]
+            bits.append(_bit_select(planes, bits))
+        leaf_planes = [
+            jnp.broadcast_to(x["ls"][j], s.shape) for j in range(node_n + 1)
+        ]
+        b = _bit_select(leaf_planes, bits)
+
+        s_new = (s + b - x["mean"]) / x["std"]
+        s = jnp.where(alive, s_new, s)
+        nvis = nvis + alive.astype(jnp.int32)
+        alive = alive & (s >= x["cth"])
+        return (s, alive, nvis), None
+
+    init = (
+        jnp.zeros((B, ny, nx), jnp.float32),
+        jnp.ones((B, ny, nx), bool),
+        jnp.zeros((B, ny, nx), jnp.int32),
+    )
+    (score, alive, nvis), _ = jax.lax.scan(body, init, tabs)
+    return score, alive, nvis
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: the whole per-scale stage-0 with phase planes resident in
+# VMEM.  The XLA scan above pays a per-iteration HBM DMA for every crop
+# (540 carts x 14 crops x 14 scales); here crops are VMEM vector loads, so
+# the filter is VPU-bound.  Grid = one step per cart, executed in order;
+# score/alive/nvis live in constant-index output blocks (VMEM) across steps.
+# ---------------------------------------------------------------------------
+
+def _scale_filter_pallas(
+    img2d: jnp.ndarray, tabi, tabf, *, win, step, ny, nx, depth
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # DMA slice shapes must be tile-aligned (8 sublanes x 128 lanes); pad
+    # the crop shape and give the phase planes enough tail room that every
+    # (u, v) start keeps the padded crop in bounds
+    ny8 = -(-ny // 8) * 8
+    nx128 = -(-nx // 128) * 128
+    umax = (win - 1) // step
+    ph = _phase_decompose(
+        img2d[None], step, hp=umax + ny8, wp=umax + nx128
+    )[0]  # [s*s, Hp, Wp]
+    K = tabi.shape[0]
+    node_n = (1 << (depth - 1)) - 1
+    ny_out, nx_out = ny, nx
+    ny, nx = ny8, nx128  # kernel computes on the padded grid
+
+    def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            score_ref[:] = jnp.zeros((ny, nx), jnp.float32)
+            alive_ref[:] = jnp.ones((ny, nx), jnp.int32)
+            nvis_ref[:] = jnp.zeros((ny, nx), jnp.int32)
+
+        def body(crops, sems):
+            # crop starts are arbitrary (not 8/128-aligned), so fetch with
+            # DMA — alignment-free — into double-buffered VMEM scratch;
+            # round r+1's 2^(r+1) copies are in flight while round r computes
+            def start_round(r, slot):
+                n_c = 1 << r
+                first = (1 << r) - 1
+                for c in range(n_c):
+                    o = 6 * (first + c)
+                    for p in range(2):
+                        pltpu.make_async_copy(
+                            ph_ref.at[
+                                tabi_ref[k, o + 3 * p + 0],
+                                pl.ds(tabi_ref[k, o + 3 * p + 1], ny),
+                                pl.ds(tabi_ref[k, o + 3 * p + 2], nx),
+                            ],
+                            crops.at[slot, 2 * c + p],
+                            sems.at[slot, 2 * c + p],
+                        ).start()
+
+            def wait_round(r, slot):
+                n_c = 1 << r
+                first = (1 << r) - 1
+                vals = []
+                for c in range(n_c):
+                    for p in range(2):
+                        pltpu.make_async_copy(
+                            ph_ref.at[0, pl.ds(0, ny), pl.ds(0, nx)],
+                            crops.at[slot, 2 * c + p],
+                            sems.at[slot, 2 * c + p],
+                        ).wait()
+                    vals.append(
+                        crops[slot, 2 * c] - crops[slot, 2 * c + 1]
+                    )
+                # decision bits kept as int32: Mosaic cannot round-trip a
+                # stored i1/i8 mask back into a select condition (trunci to
+                # i1 unsupported); int32 + `!= 0` compares avoid that
+                return [
+                    (vals[c] > tabi_ref[k, 6 * node_n + first + c]).astype(
+                        jnp.int32
+                    )
+                    for c in range(n_c)
+                ]
+
+            def bit_sel(planes, bits_i32):
+                if not bits_i32:
+                    return planes[0]
+                half = len(planes) // 2
+                return jnp.where(
+                    bits_i32[0] != 0,
+                    bit_sel(planes[half:], bits_i32[1:]),
+                    bit_sel(planes[:half], bits_i32[1:]),
+                )
+
+            start_round(0, 0)
+            bits = []
+            for r in range(depth - 1):
+                if r + 1 < depth - 1:
+                    start_round(r + 1, (r + 1) % 2)
+                planes = wait_round(r, r % 2)
+                bits.append(bit_sel(planes, bits))
+
+            leaf_planes = [tabf_ref[k, j] for j in range(node_n + 1)]
+            b = bit_sel(leaf_planes, bits)
+
+            al = alive_ref[:] > 0
+            s = score_ref[:]
+            s_new = (s + b - tabf_ref[k, node_n + 1]) / tabf_ref[k, node_n + 2]
+            s = jnp.where(al, s_new, s)
+            score_ref[:] = s
+            alint = alive_ref[:]
+            nvis_ref[:] = nvis_ref[:] + alint
+            alive_ref[:] = jnp.where(
+                al & (s >= tabf_ref[k, node_n + 3]), 1, 0
+            )
+
+        max_round = 1 << (depth - 2)  # crops per point in the widest round
+        pl.run_scoped(
+            body,
+            crops=pltpu.VMEM((2, 2 * max_round, ny, nx), jnp.int32),
+            sems=pltpu.SemaphoreType.DMA((2, 2 * max_round)),
+        )
+
+    pl_out = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(tabi.shape, lambda k: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(tabf.shape, lambda k: (0, 0), memory_space=pltpu.SMEM),
+            # phases stay in HBM: DMA slicing is alignment-free there,
+            # while tiled VMEM memrefs reject arbitrary dynamic offsets
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ny, nx), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, nx), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, nx), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((ny, nx), jnp.int32),  # alive (bool as i32)
+            jax.ShapeDtypeStruct((ny, nx), jnp.int32),
+        ],
+    )(tabi, tabf, ph)
+    return tuple(o[:ny_out, :nx_out] for o in pl_out)
+
+
+def pack_tables(tab: Dict[str, np.ndarray], node_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack node_tables output into the kernel's SMEM rows:
+    tabi [K, 6*node_n + node_n]: (pi1,u1,v1,pi2,u2,v2) per node, then th;
+    tabf [K, leaf_n + 3]: leaf scores, mean, std, cart_th."""
+    K = tab["th"].shape[0]
+    ints = np.concatenate(
+        [
+            np.stack(
+                [tab["pi1"], tab["u1"], tab["v1"], tab["pi2"], tab["u2"], tab["v2"]],
+                axis=-1,
+            ).reshape(K, 6 * node_n),
+            tab["th"].reshape(K, node_n),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    flts = np.concatenate(
+        [
+            tab["ls"],
+            tab["mean"][:, None],
+            tab["std"][:, None],
+            tab["cth"][:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return ints, flts
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "depth"))
+def stage0_filter_all_scales_pallas(
+    img2d: jnp.ndarray,  # [H, W] int32
+    tabis: Tuple[jnp.ndarray, ...],
+    tabfs: Tuple[jnp.ndarray, ...],
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],
+    depth: int,
+):
+    """All scan scales in one program; one pallas_call per scale.
+    Returns flat (score, alive, nvis) in window enumeration order."""
+    scores, alives, nviss = [], [], []
+    for (win, step, ny, nx), ti, tf in zip(meta, tabis, tabfs):
+        s, a, nv = _scale_filter_pallas(
+            img2d, ti, tf, win=win, step=step, ny=ny, nx=nx, depth=depth
+        )
+        scores.append(s.reshape(ny * nx))
+        alives.append((a != 0).reshape(ny * nx))
+        nviss.append(nv.reshape(ny * nx))
+    return (
+        jnp.concatenate(scores),
+        jnp.concatenate(alives),
+        jnp.concatenate(nviss),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "depth"))
+def stage0_filter_all_scales(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabs: Tuple[Dict[str, jnp.ndarray], ...],  # one table per scan scale
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],  # (win, step, ny, nx)
+    depth: int,
+):
+    """Full stage-0 over every scan scale in ONE program/dispatch.
+
+    Outputs are flattened per scale and concatenated in the reference's
+    window enumeration order (win outer, y middle, x inner — c/jda.c:331-339),
+    so index i here is window i of detect.enumerate_windows.
+    Returns (score [B, n], alive [B, n], nvis [B, n]).
+    """
+    scores, alives, nviss = [], [], []
+    B = img.shape[0]
+    for (win, step, ny, nx), tab in zip(meta, tabs):
+        s, a, nv = _scale_filter(img, tab, step=step, ny=ny, nx=nx, depth=depth)
+        scores.append(s.reshape(B, ny * nx))
+        alives.append(a.reshape(B, ny * nx))
+        nviss.append(nv.reshape(B, ny * nx))
+    return (
+        jnp.concatenate(scores, axis=1),
+        jnp.concatenate(alives, axis=1),
+        jnp.concatenate(nviss, axis=1),
+    )

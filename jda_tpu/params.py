@@ -266,6 +266,22 @@ def save_model(params: CascadeParams, path: str, dtype: str = "double") -> None:
 # anchor all parity fixtures)
 # ---------------------------------------------------------------------------
 
+def realistic_drop_profile(T: int, K: int) -> np.ndarray:
+    """Per-cart conditional drop rates shaped like a trained cascade.
+
+    Trained JDA models front-load rejection — most non-face windows die in
+    the first carts ("average number of cart to reject" telemetry,
+    src/jda/data.cpp:1053-1059); later carts each drop O(drop_n) samples.
+    Final acceptance on noise ends up ~0.3% of windows, in line with a
+    detector's false-positive-ish rate per image.
+    """
+    prof = np.full(T * K, 5e-4)
+    prof[:32] = 0.06
+    prof[32:128] = 0.02
+    prof[128 : min(K, T * K)] = 0.002
+    return prof
+
+
 def synthetic_model(
     T: int = 2,
     K: int = 8,
@@ -274,11 +290,15 @@ def synthetic_model(
     seed: int = 0,
     multi_scale: bool = False,
     reject_rate: float = 0.0,
+    drop_profile: Optional[np.ndarray] = None,
 ) -> CascadeParams:
     """Random but structurally valid cascade (value ranges per cart.cpp:352-390).
 
     reject_rate > 0 raises cart thresholds so a cascade over random noise
     rejects windows early (mimicking a trained detector's behaviour).
+    drop_profile (overrides reject_rate) gives per-cart *conditional* drop
+    rates; thresholds are calibrated by simulating random-leaf score
+    trajectories, so rejection is front-loaded like a trained cascade.
     """
     rng = np.random.default_rng(seed)
     node_n = (1 << (tree_depth - 1)) - 1
@@ -329,7 +349,23 @@ def synthetic_model(
         std=np.ones((T, K)),
         W=rng.normal(0.0, 1e-4, (T, K * leaf_n, L2)),
     )
-    if reject_rate > 0.0:
+    if drop_profile is not None:
+        # calibrate th_k so that a fraction drop_profile[k] of *surviving*
+        # random trajectories falls below it at cart k
+        M = 1 << 16
+        sim = np.random.default_rng(seed + 1)
+        leaf_flat = params.leaf_scores.reshape(T * K, leaf_n)
+        s = np.zeros(M)
+        alive = np.ones(M, bool)
+        th = np.full(T * K, -1e9)
+        for k in range(T * K):
+            s = s + leaf_flat[k, sim.integers(0, leaf_n, M)]
+            live = s[alive]
+            if len(live) >= 512 and drop_profile[k] > 0:
+                th[k] = np.quantile(live, drop_profile[k])
+                alive &= s >= th[k]
+        params = dataclasses.replace(params, cart_th=th.reshape(T, K))
+    elif reject_rate > 0.0:
         # Running score after k carts is a random walk ~ N(0, 0.3*sqrt(k+1)).
         # Setting th_k at the reject_rate quantile of that marginal rejects a
         # roughly constant fraction of surviving windows at every cart.
