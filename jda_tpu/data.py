@@ -1,0 +1,618 @@
+"""Training data layer: corpus, similarity transform, hard-negative stream.
+
+TPU-first redesign of the reference's DataSet/NegGenerator
+(/root/reference/include/jda/data.hpp, src/jda/data.cpp):
+
+  * the corpus is a structure-of-arrays — every sample's o/h/q patches are
+    one flat row of a [N, D] uint8 matrix (D = so^2+sh^2+sq^2), so the whole
+    corpus ships to the device as a single int32 buffer addressable by the
+    detection kernels' (base, stride, pw, ph) scheme (train/features.py);
+  * samples are NOT physically reordered: the reference quicksorts the
+    whole corpus by score to pick thresholds (data.cpp:380-410); here
+    thresholds come from np.partition and removal is a boolean mask —
+    numerically identical, batch-friendly;
+  * all randomness is an explicit np.random.Generator (the reference seeds
+    cv::RNGs from the tick counter, common.cpp:233-238 — nondeterministic).
+
+Binary corpus snapshots are bit-compatible with writeDataSet/readDataSet
+(data.cpp:698-834), so a training run can resume from (or hand its corpus
+to) the reference implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from jda_tpu.config import Config
+
+
+# ---------------------------------------------------------------------------
+# Similarity transform (STParameter, data.cpp:64-126)
+# ---------------------------------------------------------------------------
+
+def st_identity(n: int) -> np.ndarray:
+    m = np.zeros((n, 2, 2))
+    m[:, 0, 0] = m[:, 1, 1] = 1.0
+    return m
+
+
+def st_calc(shape1: np.ndarray, shape2: np.ndarray, enabled: bool) -> np.ndarray:
+    """Batched STParameter::Calc: scale*rot matrices [N, 2, 2] mapping
+    frame 2 -> frame 1 offsets (data.cpp:64-114).  Identity when the
+    config disables similarity transforms (both shipped configs do)."""
+    n = shape1.shape[0]
+    if not enabled:
+        return st_identity(n)
+    x1 = shape1[:, 0::2]
+    y1 = shape1[:, 1::2]
+    x2 = shape2[:, 0::2]
+    y2 = shape2[:, 1::2]
+    cx1 = x1.mean(1, keepdims=True)
+    cy1 = y1.mean(1, keepdims=True)
+    cx2 = x2.mean(1, keepdims=True)
+    cy2 = y2.mean(1, keepdims=True)
+    tx1, ty1 = x1 - cx1, y1 - cy1
+    tx2, ty2 = x2 - cx2, y2 - cy2
+    s1 = np.sqrt((tx1**2 + ty1**2).sum(1))
+    s2 = np.sqrt((tx2**2 + ty2**2).sum(1))
+    scale = s1 / s2
+    tx1n, ty1n = tx1 / s1[:, None], ty1 / s1[:, None]
+    tx2n, ty2n = tx2 / s2[:, None], ty2 / s2[:, None]
+    num = (ty1n * tx2n - tx1n * ty2n).sum(1)
+    den = (tx1n * tx2n + ty1n * ty2n).sum(1)
+    norm = np.sqrt(num**2 + den**2)
+    sin_t = num / norm
+    cos_t = den / norm
+    m = np.zeros((n, 2, 2))
+    m[:, 0, 0] = scale * cos_t
+    m[:, 0, 1] = scale * -sin_t
+    m[:, 1, 0] = scale * sin_t
+    m[:, 1, 1] = scale * cos_t
+    return m
+
+
+def st_apply(m: np.ndarray, shapes: np.ndarray) -> np.ndarray:
+    """Apply [N, 2, 2] transforms to [N, 2L] interleaved xy shapes."""
+    n, L2 = shapes.shape
+    xy = shapes.reshape(n, L2 // 2, 2)
+    out = np.einsum("nij,nlj->nli", m, xy)
+    return out.reshape(n, L2)
+
+
+# ---------------------------------------------------------------------------
+# Image helpers
+# ---------------------------------------------------------------------------
+
+def get_face(img: np.ndarray, x: int, y: int, w: int, h: int) -> np.ndarray:
+    """Crop a bbox, black-filling out-of-range regions (data.cpp:542-565)."""
+    rows, cols = img.shape
+    if x >= 0 and y >= 0 and x + w < cols and y + h < rows:
+        return img[y : y + h, x : x + w].copy()
+    big = np.zeros((3 * rows, 3 * cols), np.uint8)
+    big[rows : 2 * rows, cols : 2 * cols] = img
+    return big[y + rows : y + rows + h, x + cols : x + cols + w].copy()
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(img, (size, size))  # INTER_LINEAR, as the reference
+
+
+def patch_row(face: np.ndarray, c: Config) -> np.ndarray:
+    """One corpus row: o/h/q patches resized and concatenated flat."""
+    return np.concatenate(
+        [
+            _resize(face, c.img_o_size).reshape(-1),
+            _resize(face, c.img_h_size).reshape(-1),
+            _resize(face, c.img_q_size).reshape(-1),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataSet
+# ---------------------------------------------------------------------------
+
+class DataSet:
+    """Training corpus (positives or negatives), SoA host-side with a lazy
+    device mirror of the flat patch buffer."""
+
+    def __init__(self, c: Config, is_pos: bool):
+        self.c = c
+        self.is_pos = is_pos
+        self.dims = (c.img_o_size, c.img_h_size, c.img_q_size)
+        self.D = sum(d * d for d in self.dims)
+        L2 = c.landmark_dim
+        self.imgs = np.zeros((0, self.D), np.uint8)
+        self.gt_shapes = np.zeros((0, L2))
+        self.shape_mask = np.zeros(0, np.int32)
+        self.current_shapes = np.zeros((0, L2))
+        self.scores = np.zeros(0)
+        self.last_scores = np.zeros(0)
+        self.weights = np.zeros(0)
+        self.stp_mc = np.zeros((0, 2, 2))
+        self.stp_cm = np.zeros((0, 2, 2))
+        self.mean_shape: Optional[np.ndarray] = None
+        self.live = np.zeros(0, bool)
+        self._flat_dev = None
+        self._flat_cap = -1
+
+    @property
+    def size(self) -> int:
+        """Count of live samples (dead rows await lazy compaction)."""
+        return int(self.live.sum())
+
+    def live_idx(self) -> np.ndarray:
+        return np.flatnonzero(self.live)
+
+    # -- device mirror ------------------------------------------------------
+
+    def invalidate(self):
+        self._flat_dev = None
+
+    def flat_dev(self):
+        """Device mirror of the corpus, padded to a power-of-two row
+        capacity so removals don't change the compiled buffer shape (and
+        only capacity jumps re-upload)."""
+        import jax.numpy as jnp
+
+        cap = 64
+        while cap < len(self.imgs):
+            cap *= 2
+        if self._flat_dev is None or self._flat_cap != cap:
+            buf = np.zeros((cap, self.D), np.int32)
+            buf[: len(self.imgs)] = self.imgs
+            self._flat_dev = jnp.asarray(buf.reshape(-1))
+            self._flat_cap = cap
+        return self._flat_dev
+
+    # -- loading ------------------------------------------------------------
+
+    def load_positive(self, face_txt: str, rng: np.random.Generator) -> None:
+        """LoadPositiveDataSet (data.cpp:567-678): token-stream parse of
+        `path x y w h lm1x lm1y ...`, bbox crop with black fill, landmark
+        normalization to [0,1], optional flip augment with symmetric
+        landmark swap, mean shape, random initial shapes."""
+        import cv2
+
+        c = self.c
+        L = c.landmark_n
+        with open(face_txt) as f:
+            toks = f.read().split()
+        stride = 5 + 2 * L
+        assert len(toks) % stride == 0, "malformed face.txt"
+        n = len(toks) // stride
+
+        rows = []
+        gts = []
+        masks = []
+        for i in range(n):
+            rec = toks[i * stride : (i + 1) * stride]
+            path = rec[0]
+            x, y, w, h = (int(float(v)) for v in rec[1:5])
+            lm = np.asarray([float(v) for v in rec[5:]], np.float64)
+            mask = -1 if (lm < 0).all() else 1
+            img = cv2.imread(path)
+            if img is None:
+                raise IOError(f"can not open {path}")
+            gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            face = get_face(gray, x, y, w, h)
+            lm[0::2] = (lm[0::2] - x) / w
+            lm[1::2] = (lm[1::2] - y) / h
+            rows.append(patch_row(face, c))
+            gts.append(lm)
+            masks.append(mask)
+            if c.face_augment_on:
+                rows.append(patch_row(face[:, ::-1], c))
+                flm = lm.copy()
+                flm[0::2] = 1 - flm[0::2]
+                left, right = c.symmetric_landmarks
+                for a, b in zip(left, right):
+                    fa = flm[2 * a : 2 * a + 2].copy()
+                    flm[2 * a : 2 * a + 2] = flm[2 * b : 2 * b + 2]
+                    flm[2 * b : 2 * b + 2] = fa
+                gts.append(flm)
+                masks.append(mask)
+
+        self.imgs = np.stack(rows).astype(np.uint8)
+        self.gt_shapes = np.stack(gts)
+        self.shape_mask = np.asarray(masks, np.int32)
+        m = self.size
+        self.scores = np.zeros(m)
+        self.last_scores = np.zeros(m)
+        self.weights = np.zeros(m)
+        self.stp_mc = st_identity(m)
+        self.stp_cm = st_identity(m)
+        self.live = np.ones(m, bool)
+        self.calc_mean_shape()
+        self.current_shapes = self.random_shapes(rng)
+        self.invalidate()
+
+    def calc_mean_shape(self) -> np.ndarray:
+        valid = self.shape_mask == 1
+        self.mean_shape = self.gt_shapes[valid].mean(0)
+        return self.mean_shape
+
+    def random_shapes(self, rng: np.random.Generator) -> np.ndarray:
+        """Mean shape + per-sample global uniform shift (data.cpp:225-253)."""
+        s = self.c.shift_size
+        shift = rng.uniform(-s, s, (len(self.imgs), 2))
+        out = np.tile(self.mean_shape, (len(self.imgs), 1))
+        out[:, 0::2] += shift[:, 0:1]
+        out[:, 1::2] += shift[:, 1:2]
+        return out
+
+    # -- boosting state ops (data.cpp:255-448) -------------------------------
+
+    def update_weights_local(self):
+        flag = -1.0 if self.is_pos else 1.0
+        self.weights[self.live] = np.exp(flag * self.scores[self.live])
+
+    @staticmethod
+    def update_weights(pos: "DataSet", neg: "DataSet"):
+        pos.update_weights_local()
+        neg.update_weights_local()
+        total = pos.weights[pos.live].sum() + neg.weights[neg.live].sum()
+        pos.weights[pos.live] /= total
+        neg.weights[neg.live] /= total
+        pos.weights[~pos.live] = 0.0
+        neg.weights[~neg.live] = 0.0
+
+    def calc_threshold_by_number(self, remove: int) -> float:
+        """Score of the `remove`-th lowest sample (data.cpp:335-345)."""
+        s = self.scores[self.live]
+        k = min(remove, len(s) - 1)
+        return float(np.partition(s, k)[k])
+
+    def pre_remove(self, th: float) -> int:
+        return int((self.scores[self.live] < th).sum())
+
+    def remove(self, th: float) -> None:
+        """Drop live samples scoring below th (data.cpp:347-378).  Rows are
+        mask-killed; physical compaction happens lazily so the device
+        corpus buffer keeps its shape across carts."""
+        self.live &= self.scores >= th
+        if len(self.imgs) and self.size < 0.5 * len(self.imgs):
+            self.compact()
+
+    def compact(self) -> None:
+        keep = self.live
+        self.imgs = self.imgs[keep]
+        if self.is_pos:
+            self.gt_shapes = self.gt_shapes[keep]
+            self.shape_mask = self.shape_mask[keep]
+        self.current_shapes = self.current_shapes[keep]
+        self.scores = self.scores[keep]
+        self.last_scores = self.last_scores[keep]
+        self.weights = self.weights[keep]
+        self.stp_mc = self.stp_mc[keep]
+        self.stp_cm = self.stp_cm[keep]
+        self.live = np.ones(len(self.imgs), bool)
+        self.invalidate()
+
+    def reset_scores(self):
+        self.scores = self.last_scores.copy()
+
+    @staticmethod
+    def calc_mean_std(pos: "DataSet", neg: "DataSet") -> Tuple[float, float]:
+        s = np.concatenate([pos.scores[pos.live], neg.scores[neg.live]])
+        return float(s.mean()), float(s.std())
+
+    def apply_mean_std(self, mean: float, std: float):
+        self.scores[self.live] = (self.scores[self.live] - mean) / std
+
+    def calc_st_parameters(self, mean_shape: np.ndarray):
+        en = self.c.with_similarity_transform
+        n = len(self.imgs)
+        self.stp_mc = st_calc(self.current_shapes, mean_shape[None].repeat(n, 0), en)
+        self.stp_cm = st_calc(mean_shape[None].repeat(n, 0), self.current_shapes, en)
+
+    def shape_residual(self, idx: np.ndarray, landmark_id: Optional[int] = None) -> np.ndarray:
+        """gt - current in the mean-shape frame (data.cpp:175-208)."""
+        res = self.gt_shapes[idx] - self.current_shapes[idx]
+        if landmark_id is None:
+            return st_apply(self.stp_cm[idx], res)
+        r = res[:, 2 * landmark_id : 2 * landmark_id + 2]
+        return np.einsum("nij,nj->ni", self.stp_cm[idx], r)
+
+    def append_negatives(
+        self,
+        rows: np.ndarray,
+        scores: np.ndarray,
+        shapes: np.ndarray,
+        mean_shape: np.ndarray,
+    ) -> None:
+        """MoreNegSamples tail (data.cpp:479-532): mined patches enter with
+        their cascade score and partially-regressed shape."""
+        assert not self.is_pos
+        m = len(rows)
+        self.imgs = np.concatenate([self.imgs, rows.astype(np.uint8)])
+        self.current_shapes = np.concatenate([self.current_shapes, shapes])
+        self.scores = np.concatenate([self.scores, scores])
+        self.last_scores = np.concatenate([self.last_scores, np.zeros(m)])
+        self.weights = np.concatenate([self.weights, np.zeros(m)])
+        self.stp_mc = np.concatenate([self.stp_mc, st_identity(m)])
+        self.stp_cm = np.concatenate([self.stp_cm, st_identity(m)])
+        self.live = np.concatenate([self.live, np.ones(m, bool)])
+        self.calc_st_parameters(mean_shape)
+        self.invalidate()
+
+    # -- binary snapshot, bit-compatible with writeDataSet/readDataSet -------
+
+    def write_to(self, fout) -> None:
+        self.compact()
+        c = self.c
+        np.asarray([1 if self.is_pos else 0, self.size], "<i4").tofile(fout)
+        if self.is_pos:
+            self.mean_shape.astype("<f8").tofile(fout)
+        so, sh, sq = self.dims
+        for i in range(self.size):
+            off = 0
+            for d in (so, sh, sq):
+                np.asarray([d, d], "<i4").tofile(fout)
+                self.imgs[i, off : off + d * d].tofile(fout)
+                off += d * d
+            if self.is_pos:
+                np.asarray([self.shape_mask[i]], "<i4").tofile(fout)
+                self.gt_shapes[i].astype("<f8").tofile(fout)
+            self.current_shapes[i].astype("<f8").tofile(fout)
+            np.asarray([self.scores[i], self.weights[i]], "<f8").tofile(fout)
+
+    def read_from(self, fin) -> None:
+        c = self.c
+        L2 = c.landmark_dim
+        flag, n = np.fromfile(fin, "<i4", 2)
+        self.is_pos = bool(flag)
+        if self.is_pos:
+            self.mean_shape = np.fromfile(fin, "<f8", L2)
+        rows = np.zeros((n, self.D), np.uint8)
+        gts = np.zeros((n, L2))
+        masks = np.zeros(n, np.int32)
+        curs = np.zeros((n, L2))
+        scores = np.zeros(n)
+        weights = np.zeros(n)
+        for i in range(n):
+            off = 0
+            for _ in range(3):
+                cols, rws = np.fromfile(fin, "<i4", 2)
+                rows[i, off : off + cols * rws] = np.fromfile(
+                    fin, np.uint8, cols * rws
+                )
+                off += cols * rws
+            if self.is_pos:
+                masks[i] = np.fromfile(fin, "<i4", 1)[0]
+                gts[i] = np.fromfile(fin, "<f8", L2)
+            curs[i] = np.fromfile(fin, "<f8", L2)
+            scores[i], weights[i] = np.fromfile(fin, "<f8", 2)
+        self.imgs = rows
+        self.gt_shapes = gts
+        self.shape_mask = masks
+        self.current_shapes = curs
+        self.scores = scores
+        self.last_scores = np.zeros(n)
+        self.weights = weights
+        self.stp_mc = st_identity(n)
+        self.stp_cm = st_identity(n)
+        self.live = np.ones(n, bool)
+        self.invalidate()
+
+    @staticmethod
+    def snapshot(pos: "DataSet", neg: "DataSet", path: str) -> None:
+        with open(path, "wb") as f:
+            pos.write_to(f)
+            neg.write_to(f)
+
+    @staticmethod
+    def resume(path: str, pos: "DataSet", neg: "DataSet") -> None:
+        with open(path, "rb") as f:
+            pos.read_from(f)
+            neg.read_from(f)
+
+
+# ---------------------------------------------------------------------------
+# NegGenerator: streaming hard-negative proposals (data.cpp:880-1197)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _ScanState:
+    current_idx: int
+    x: int = 0
+    y: int = 0
+    win_size: int = 0
+    factor: float = 1.2
+    step: int = 4
+    transform_type: int = 0
+    reset: int = 0
+    hd_idx: int = 0
+    bg_img: Optional[np.ndarray] = None
+
+
+class NegGenerator:
+    """Sliding-window proposal stream over background images.
+
+    The reference runs thread_n OpenMP workers each owning a scan state and
+    validating one window at a time (data.cpp:971-1012).  Here the same
+    state machines produce *batches* of candidate patches that a device
+    validator (the partial cascade) accepts or rejects in bulk — the
+    TPU-native shape of the producer pool (SURVEY.md §2 P4).
+    """
+
+    def __init__(self, c: Config, n_states: int = 8):
+        self.c = c
+        self.n_states = n_states
+        self.list: List[str] = []
+        self.hards: List[np.ndarray] = []
+        self.states: List[_ScanState] = []
+        self._loader: Callable[[str], Optional[np.ndarray]] = self._imread
+
+    @staticmethod
+    def _imread(path: str) -> Optional[np.ndarray]:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        return img
+
+    def load(self, bg_txts: Sequence[str], rng: np.random.Generator) -> None:
+        self.list = []
+        for p in bg_txts:
+            with open(p) as f:
+                self.list.extend(f.read().split())
+        rng.shuffle(self.list)
+        self._init_states(rng)
+
+    def load_images(self, images: List[np.ndarray], rng: np.random.Generator) -> None:
+        """In-memory variant (tests / embedded use)."""
+        self.list = [f"<mem:{i}>" for i in range(len(images))]
+        self._mem = images
+        self._loader = lambda p: self._mem[int(p[5:-1])]
+        self._init_states(rng)
+
+    def _init_states(self, rng: np.random.Generator) -> None:
+        c = self.c
+        self.states = []
+        for i in range(self.n_states):
+            s = _ScanState(current_idx=i % max(len(self.list), 1))
+            s.win_size = c.img_o_size
+            s.factor = rng.uniform(1.1, 1.5)
+            s.step = int(rng.integers(2, c.img_q_size))
+            s.bg_img = self._loader(self.list[s.current_idx])
+            s.hd_idx = i
+            self.states.append(s)
+        self._rng = rng
+
+    def _transform(self, img: np.ndarray, t: int) -> np.ndarray:
+        import cv2
+
+        if t == 0:
+            return img
+        if t == 1:
+            return cv2.transpose(cv2.flip(img, 0))
+        if t == 2:
+            return cv2.flip(img, -1)
+        if t == 3:
+            return cv2.transpose(cv2.flip(img, 1))
+        if t == 4:
+            return cv2.flip(img, 1)
+        if t == 5:
+            return cv2.transpose(cv2.flip(img, -1))
+        if t == 6:
+            return cv2.flip(cv2.flip(img, -1), 1)
+        return cv2.flip(cv2.transpose(cv2.flip(img, 0)), 1)
+
+    def next_patch(self, sid: int) -> np.ndarray:
+        """NextImage (data.cpp:885-966): one square candidate patch."""
+        s = self.states[sid]
+        c = self.c
+        if s.hd_idx < len(self.hards):
+            patch = self.hards[s.hd_idx]
+            s.hd_idx += self.n_states
+            return patch
+        s.x += s.step
+        if s.x + s.win_size > s.bg_img.shape[1]:
+            s.x = 0
+            s.y += s.step
+            if s.y + s.win_size > s.bg_img.shape[0]:
+                s.y = 0
+                s.win_size = int(s.win_size * s.factor)
+                if (
+                    s.win_size >= s.bg_img.shape[1]
+                    or s.win_size >= s.bg_img.shape[0]
+                ):
+                    s.win_size = c.img_o_size
+                    s.factor = self._rng.uniform(1.1, 1.5)
+                    s.step = int(self._rng.integers(2, c.img_q_size))
+                    # NOTE: the reference's advance loop (data.cpp:913-925)
+                    # never loads an image on the wraparound iteration, so
+                    # it spins forever when list size <= thread stride; we
+                    # load after wrapping (and bound pathological lists)
+                    for _ in range(8 * len(self.list) + 8):
+                        s.current_idx += self.n_states
+                        if s.current_idx >= len(self.list):
+                            s.current_idx %= len(self.list)
+                            s.transform_type = (s.transform_type + 1) % 8
+                            s.reset += 1
+                        img = self._loader(self.list[s.current_idx])
+                        if (
+                            img is not None
+                            and img.shape[1] > s.win_size
+                            and img.shape[0] > s.win_size
+                        ):
+                            s.bg_img = self._transform(img, s.transform_type)
+                            break
+                    else:
+                        raise RuntimeError(
+                            "no background image larger than the scan window"
+                        )
+        return s.bg_img[
+            s.y : s.y + s.win_size, s.x : s.x + s.win_size
+        ].copy()
+
+    def report_bg_used(self) -> int:
+        base = max(len(self.list), 1) // self.n_states
+        return sum(
+            s.current_idx // self.n_states + s.reset * base for s in self.states
+        )
+
+    def generate(
+        self,
+        validate_fn: Callable,
+        size: int,
+        batch: int = 512,
+        max_batches: int = 2000,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+        """Mine up to `size` accepted patches.  validate_fn(rows [B, D]
+        uint8) -> (is_face [B] bool, score [B], shape [B, 2L], nvis [B]).
+        Returns (rows, scores, shapes, stats).
+
+        max_batches bounds the proposal stream — the reference spins
+        forever when the background pool has no hard negatives left
+        (data.cpp:971-1012); a production trainer must make progress and
+        report the shortfall instead."""
+        c = self.c
+        acc_rows, acc_scores, acc_shapes = [], [], []
+        nega_n = 0
+        carts_n = 0
+        got = 0
+        n_batches = 0
+        while got < size and n_batches < max_batches:
+            n_batches += 1
+            rows = np.zeros((batch, sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))), np.uint8)
+            for b in range(batch):
+                patch = self.next_patch(b % self.n_states)
+                rows[b] = patch_row(patch, c)
+            ok, score, shape, nvis = validate_fn(rows)
+            nega_n += int((~ok).sum())
+            carts_n += int(nvis[~ok].sum())
+            take = np.flatnonzero(ok)[: size - got]
+            if len(take):
+                acc_rows.append(rows[take])
+                acc_scores.append(score[take])
+                acc_shapes.append(shape[take])
+                got += len(take)
+        stats = {
+            "exhausted": got < size,
+            "not_hard": nega_n,
+            "avg_reject_carts": carts_n / max(nega_n, 1),
+            "fp_rate": got / max(got + nega_n, 1),
+            "bg_used": self.report_bg_used(),
+        }
+        if not acc_rows:
+            D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+            L2 = c.landmark_dim
+            return (
+                np.zeros((0, D), np.uint8),
+                np.zeros(0),
+                np.zeros((0, L2)),
+                stats,
+            )
+        return (
+            np.concatenate(acc_rows),
+            np.concatenate(acc_scores),
+            np.concatenate(acc_shapes),
+            stats,
+        )

@@ -28,7 +28,7 @@ semantics:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -155,6 +155,7 @@ def carts_descend(
     depth: int,
     rounding: bool,
     single_scale: bool = False,
+    stp: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Wide tree descent: all C carts x all N windows in parallel.
 
@@ -204,8 +205,22 @@ def carts_descend(
         def pt(lmk_col, off_col):
             px = _onehot_select(shape_x, lmk_col)  # [N, C]
             py = _onehot_select(shape_y, lmk_col)
-            x = jnp.clip(to_int((px + off_col[None, :, 0]) * pwf), 0, pw - 1)
-            y = jnp.clip(to_int((py + off_col[None, :, 1]) * phf), 0, ph - 1)
+            if stp is None:
+                ox = off_col[None, :, 0]
+                oy = off_col[None, :, 1]
+            else:
+                # per-window similarity transform of the mean-frame offsets
+                # (STParameter::Apply on offsets, data.cpp:41-42)
+                ox = (
+                    stp[:, 0, 0, None] * off_col[None, :, 0]
+                    + stp[:, 0, 1, None] * off_col[None, :, 1]
+                )
+                oy = (
+                    stp[:, 1, 0, None] * off_col[None, :, 0]
+                    + stp[:, 1, 1, None] * off_col[None, :, 1]
+                )
+            x = jnp.clip(to_int((px + ox) * pwf), 0, pw - 1)
+            y = jnp.clip(to_int((py + oy) * phf), 0, ph - 1)
             return base + y * stride + x
 
         idx1 = pt(chunk["lmk1"][:, j], chunk["off1"][:, j])
@@ -271,6 +286,7 @@ def run_cart_chunk(
     depth: int,
     rounding: bool,
     single_scale: bool = False,
+    stp: Optional[jnp.ndarray] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Run a contiguous run of carts (no regression at the end).
 
@@ -284,6 +300,7 @@ def run_cart_chunk(
         depth=depth,
         rounding=rounding,
         single_scale=single_scale,
+        stp=stp,
     )
     score, alive, nvis = score_chain(
         b, chunk, state["score"], state["alive"], state["nvis"]

@@ -1,0 +1,588 @@
+"""The joint-cascade trainer: RealBoost + joint classification/regression.
+
+TPU-native re-design of JoinCascador::Train / BoostCart::Train / Cart::Train
+(/root/reference/src/jda/cascador.cpp:33-55, btcart.cpp:120-317,
+cart.cpp:41-162).  Orchestration (stage/cart loops, DFS node splitting,
+restart logic, thresholds, snapshots) runs on host over numpy state; every
+hot operation is a device batch:
+
+  * feature matrices: train/features.py (flat-buffer gathers + matmuls)
+  * split search:     train/split.py   (histogram/variance reductions)
+  * corpus forward:   ops/cascade.py   (the same wide-descent kernel
+                      detection uses — corpora ARE window batches)
+  * global regression: train/regression.py (ridge normal equations, MXU)
+  * hard-negative validation: batched partial cascade
+
+Determinism: a single np.random.Generator drives pool sampling, coin
+flips, percentiles, and mining shifts (the reference's tick-seeded
+per-thread cv::RNGs are nondeterministic by design; SURVEY.md §2 P7).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.config import Config
+from jda_tpu.data import DataSet, NegGenerator, st_apply
+from jda_tpu.params import CascadeParams, save_model
+from jda_tpu.ops import cascade as C
+from jda_tpu.train import features as FT
+from jda_tpu.train import split as SP
+from jda_tpu.train import regression as RG
+from jda_tpu.utils import log, calc_mean_error
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+_featvals_jit = jax.jit(FT.feature_values)
+_descend_jit = jax.jit(
+    C.carts_descend, static_argnames=("depth", "rounding", "single_scale")
+)
+_chunk_jit = jax.jit(
+    C.run_cart_chunk, static_argnames=("depth", "rounding", "single_scale")
+)
+_regress_jit = jax.jit(C.apply_regression, static_argnames=("leaf_n", "exact"))
+
+
+def empty_model(c: Config) -> CascadeParams:
+    """All-zero cascade with training cursor at (0, -1)."""
+    T, K, L = c.T, c.K, c.landmark_n
+    node_n, leaf_n = c.node_n, c.leaf_n
+    return CascadeParams(
+        T=T,
+        K=K,
+        landmark_n=L,
+        tree_depth=c.tree_depth,
+        stage_idx=0,
+        cart_idx=-1,
+        mean_shape=np.zeros(2 * L),
+        scale=np.zeros((T, K, node_n), np.int32),
+        lmk1=np.zeros((T, K, node_n), np.int32),
+        lmk2=np.zeros((T, K, node_n), np.int32),
+        off1=np.zeros((T, K, node_n, 2)),
+        off2=np.zeros((T, K, node_n, 2)),
+        feat_th=np.full((T, K, node_n), -256, np.int32),
+        leaf_scores=np.zeros((T, K, leaf_n)),
+        cart_th=np.full((T, K), -1e30),
+        mean=np.zeros((T, K)),
+        std=np.ones((T, K)),
+        W=np.zeros((T, K * leaf_n, 2 * L)),
+    )
+
+
+class Trainer:
+    """Joint cascade trainer (the `jda train` / `jda resume` workloads)."""
+
+    def __init__(self, c: Config, model: Optional[CascadeParams] = None):
+        self.c = c
+        self.model = model if model is not None else empty_model(c)
+        self.rng = np.random.default_rng(c.seed)
+        self.pos = DataSet(c, is_pos=True)
+        self.neg = DataSet(c, is_pos=False)
+        self.neg_gen = NegGenerator(c)
+        self.single_scale = not c.multi_scale
+        self.mining_max_batches = 2000
+        self.snapshot_dir: Optional[str] = None
+        self.stats: Dict = {"stages": []}
+
+    # -- data plumbing ------------------------------------------------------
+
+    def load_data(self) -> None:
+        """train() data path (src/train.cpp:26-36 without the cache)."""
+        self.pos.load_positive(self.c.face_txt, self.rng)
+        self.neg_gen.load(self.c.bg_txts, self.rng)
+        self.model.mean_shape = self.pos.mean_shape.copy()
+
+    def set_synthetic_data(
+        self,
+        pos_rows: np.ndarray,  # [N, D] uint8 corpus rows
+        gt_shapes: np.ndarray,  # [N, 2L]
+        neg_images: List[np.ndarray],
+        shape_mask: Optional[np.ndarray] = None,
+    ) -> None:
+        """Inject an in-memory corpus (tests, embedding)."""
+        p = self.pos
+        p.imgs = pos_rows.astype(np.uint8)
+        p.gt_shapes = gt_shapes.astype(np.float64)
+        p.shape_mask = (
+            shape_mask.astype(np.int32)
+            if shape_mask is not None
+            else np.ones(len(pos_rows), np.int32)
+        )
+        n = len(pos_rows)
+        p.live = np.ones(n, bool)
+        p.scores = np.zeros(n)
+        p.last_scores = np.zeros(n)
+        p.weights = np.zeros(n)
+        p.calc_mean_shape()
+        p.current_shapes = p.random_shapes(self.rng)
+        from jda_tpu.data import st_identity
+
+        p.stp_mc = st_identity(n)
+        p.stp_cm = st_identity(n)
+        p.live = np.ones(n, bool)
+        p.invalidate()
+        self.neg_gen.load_images(neg_images, self.rng)
+        self.model.mean_shape = p.mean_shape.copy()
+
+    # -- device helpers -----------------------------------------------------
+
+    def _subset(self, ds: DataSet, idx: np.ndarray):
+        """Bucket-padded device views of a sample subset."""
+        m = len(idx)
+        b = _bucket(max(m, 1))
+        pad = b - m
+        # geometry over PHYSICAL rows (idx index the physical corpus; dead
+        # rows linger until lazy compaction)
+        geom = FT.corpus_geometry(len(ds.imgs), ds.dims)
+
+        def padg(a, fill=0):
+            a = a[idx]
+            if pad:
+                a = np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+                )
+            return jnp.asarray(a)
+
+        g = {k: padg(v) for k, v in geom.items()}
+        shapes = padg(ds.current_shapes.astype(np.float32))
+        valid = jnp.asarray(np.arange(b) < m)
+        stp = None
+        if self.c.with_similarity_transform:
+            stp = padg(ds.stp_mc.astype(np.float32))
+        return g, shapes, valid, stp, m, b
+
+    def _model_chunk(self, t: int, k0: int, k1: int) -> Dict[str, jnp.ndarray]:
+        m = self.model
+        return {
+            "scale": jnp.asarray(m.scale[t, k0:k1], jnp.int32),
+            "lmk1": jnp.asarray(m.lmk1[t, k0:k1], jnp.int32),
+            "lmk2": jnp.asarray(m.lmk2[t, k0:k1], jnp.int32),
+            "off1": jnp.asarray(m.off1[t, k0:k1], jnp.float32),
+            "off2": jnp.asarray(m.off2[t, k0:k1], jnp.float32),
+            "feat_th": jnp.asarray(m.feat_th[t, k0:k1], jnp.int32),
+            "leaf_scores": jnp.asarray(m.leaf_scores[t, k0:k1], jnp.float32),
+            "cart_th": jnp.asarray(m.cart_th[t, k0:k1], jnp.float32),
+            "mean": jnp.asarray(m.mean[t, k0:k1], jnp.float32),
+            "std": jnp.asarray(m.std[t, k0:k1], jnp.float32),
+        }
+
+    def _descend(self, ds: DataSet, idx: np.ndarray, t: int, k0: int, k1: int):
+        """leaves/leaf-scores of carts [k0, k1) on a sample subset."""
+        g, shapes, valid, stp, m, b = self._subset(ds, idx)
+        state = {
+            "shape": shapes,
+            "base": g["base"],
+            "stride": g["stride"],
+            "pw": g["pw"],
+            "ph": g["ph"],
+        }
+        leaves, bscores = _descend_jit(
+            self._model_chunk(t, k0, k1),
+            ds.flat_dev(),
+            state,
+            depth=self.c.tree_depth,
+            rounding=True,  # C++ training semantics (data.cpp:48-51)
+            single_scale=self.single_scale,
+            stp=stp,
+        )
+        return np.asarray(leaves)[:m], np.asarray(bscores)[:m]
+
+    # -- cart training (Cart::Train + SplitNode DFS, cart.cpp:41-162) --------
+
+    def train_cart(self, t: int, k: int) -> None:
+        c = self.c
+        landmark_id = k % c.landmark_n
+        leaf_base = 1 << (c.tree_depth - 1)
+
+        def split(node: int, pidx: np.ndarray, nidx: np.ndarray):
+            if node >= leaf_base:
+                li = node - leaf_base
+                pw = c.esp + self.pos.weights[pidx].sum()
+                nw = c.esp + self.neg.weights[nidx].sum()
+                self.model.leaf_scores[t, k, li] = 0.5 * (
+                    np.log(pw) - np.log(nw)
+                )
+                return
+
+            pool = FT.gen_feature_pool(
+                self.rng, c.feats[t], c.landmark_n, c.radius[t], c.multi_scale
+            )
+            pool_dev = pool.device()
+            is_classification = self.rng.uniform() < c.probs[t]
+
+            if len(pidx) == 0 and len(nidx) == 0:
+                f_idx, th = 0, -256
+                vp_col = np.zeros(0, np.int32)
+                vn_col = np.zeros(0, np.int32)
+            else:
+                gp, sp_, vp_mask, stp_p, mp, bp = self._subset(self.pos, pidx)
+                gn, sn_, vn_mask, stp_n, mn, bn = self._subset(self.neg, nidx)
+                vp = _featvals_jit(
+                    self.pos.flat_dev(), gp, sp_, pool_dev, stp_p
+                )
+                vn = _featvals_jit(
+                    self.neg.flat_dev(), gn, sn_, pool_dev, stp_n
+                )
+
+                def padw(ds, idx, b):
+                    w = ds.weights[idx].astype(np.float32)
+                    return jnp.asarray(
+                        np.concatenate([w, np.zeros(b - len(idx), np.float32)])
+                    )
+
+                if is_classification:
+                    f_dev, th_dev, _ = SP.classification_split(
+                        vp,
+                        padw(self.pos, pidx, bp),
+                        vp_mask,
+                        vn,
+                        padw(self.neg, nidx, bn),
+                        vn_mask,
+                    )
+                else:
+                    resid = self.pos.shape_residual(pidx, landmark_id).astype(
+                        np.float32
+                    )
+                    resid = np.concatenate(
+                        [resid, np.zeros((bp - mp, 2), np.float32)]
+                    )
+                    has_gt = np.concatenate(
+                        [
+                            self.pos.shape_mask[pidx] == 1,
+                            np.zeros(bp - mp, bool),
+                        ]
+                    )
+                    u = self.rng.uniform(0.1, 0.9, c.feats[t]).astype(
+                        np.float32
+                    )
+                    f_dev, th_dev, _ = SP.regression_split(
+                        vp,
+                        jnp.asarray(resid),
+                        jnp.asarray(has_gt),
+                        vp_mask,
+                        jnp.asarray(u),
+                    )
+                f_idx, th = int(f_dev), int(th_dev)
+                vp_col = np.asarray(vp[:, f_idx])[:mp]
+                vn_col = np.asarray(vn[:, f_idx])[:mn]
+
+            sc, l1, l2, o1, o2 = pool.select(f_idx)
+            ni = node - 1  # heap index 1..7 -> storage 0..6
+            self.model.scale[t, k, ni] = sc
+            self.model.lmk1[t, k, ni] = l1
+            self.model.lmk2[t, k, ni] = l2
+            self.model.off1[t, k, ni] = o1
+            self.model.off2[t, k, ni] = o2
+            self.model.feat_th[t, k, ni] = th
+
+            go_left_p = vp_col <= th
+            go_left_n = vn_col <= th
+            split(2 * node, pidx[go_left_p], nidx[go_left_n])
+            split(2 * node + 1, pidx[~go_left_p], nidx[~go_left_n])
+
+        split(1, self.pos.live_idx(), self.neg.live_idx())
+
+    # -- incremental scoring / LBF -----------------------------------------
+
+    def update_scores(self, ds: DataSet, t: int, k: int) -> None:
+        """DataSet::UpdateScores (data.cpp:305-317), live rows only."""
+        ds.last_scores = ds.scores.copy()
+        if ds.size == 0:
+            return
+        idx = ds.live_idx()
+        _, b = self._descend(ds, idx, t, k, k + 1)
+        ds.scores[idx] += b[:, 0].astype(np.float64)
+
+    def gen_lbf(self, ds: DataSet, t: int) -> np.ndarray:
+        """BoostCart::GenLBF over live rows: [size, K] global leaf ids."""
+        leaves, _ = self._descend(ds, ds.live_idx(), t, 0, self.c.K)
+        return leaves + np.arange(self.c.K, dtype=np.int32)[None, :] * self.c.leaf_n
+
+    # -- mining validation (JoinCascador::Validate, cascador.cpp:166-211) ----
+
+    def make_validator(self, stage: int, cart: int) -> Callable:
+        """Partial-cascade batch validator for hard-negative mining.
+        `stage` full stages are complete; carts [0..cart] of stage `stage`
+        are trained (cart == -1 -> none yet)."""
+        c = self.c
+        dims = (c.img_o_size, c.img_h_size, c.img_q_size)
+        ms = self.model.mean_shape.astype(np.float32)
+
+        def validate(rows: np.ndarray):
+            m = len(rows)
+            b = _bucket(m)
+            flat = np.zeros((b, rows.shape[1]), np.int32)
+            flat[:m] = rows
+            flat_dev = jnp.asarray(flat.reshape(-1))
+            geom = FT.corpus_geometry(b, dims)
+            shift = self.rng.uniform(-c.shift_size, c.shift_size, (m, 2))
+            shapes = np.tile(ms, (b, 1)).astype(np.float32)
+            shapes[:m, 0::2] += shift[:, 0:1].astype(np.float32)
+            shapes[:m, 1::2] += shift[:, 1:2].astype(np.float32)
+            state = C.init_state(
+                b,
+                jnp.asarray(ms),
+                jnp.asarray(geom["base"]),
+                jnp.asarray(geom["stride"]),
+                jnp.asarray(geom["pw"]),
+                jnp.asarray(geom["ph"]),
+                jnp.asarray(np.arange(b) < m),
+            )
+            state["shape"] = jnp.asarray(shapes)
+            for tt in range(stage):
+                state, leaves = _chunk_jit(
+                    self._model_chunk(tt, 0, c.K),
+                    flat_dev,
+                    state,
+                    depth=c.tree_depth,
+                    rounding=True,
+                    single_scale=self.single_scale,
+                )
+                state = _regress_jit(
+                    jnp.asarray(self.model.W[tt], jnp.float32),
+                    leaves,
+                    state,
+                    leaf_n=c.leaf_n,
+                )
+            if cart >= 0:
+                state, _ = _chunk_jit(
+                    self._model_chunk(stage, 0, cart + 1),
+                    flat_dev,
+                    state,
+                    depth=c.tree_depth,
+                    rounding=True,
+                    single_scale=self.single_scale,
+                )
+            return (
+                np.asarray(state["alive"])[:m],
+                np.asarray(state["score"])[:m].astype(np.float64),
+                np.asarray(state["shape"])[:m].astype(np.float64),
+                np.asarray(state["nvis"])[:m],
+            )
+
+        return validate
+
+    def more_neg_samples(self, t: int, k: int) -> None:
+        """DataSet::MoreNegSamples (data.cpp:479-532)."""
+        c = self.c
+        want = int(c.nps[t] * self.pos.size) - self.neg.size
+        if want <= 0:
+            return
+        log(f"mining {want} hard negatives (stage {t}, cart {k})")
+        t0 = time.time()
+        rows, scores, shapes, stats = self.neg_gen.generate(
+            self.make_validator(t, k - 1),
+            want,
+            max_batches=self.mining_max_batches,
+        )
+        if len(rows):
+            self.neg.append_negatives(
+                rows, scores, shapes, self.model.mean_shape
+            )
+        log(
+            f"mined {len(rows)} in {time.time()-t0:.1f}s; "
+            f"FP={stats['fp_rate']:.6f}, avg reject carts="
+            f"{stats['avg_reject_carts']:.2f}"
+            + (" [background pool exhausted]" if stats["exhausted"] else "")
+        )
+
+    # -- stage training (BoostCart::Train, btcart.cpp:120-317) ---------------
+
+    def train_stage(self, t: int) -> None:
+        c = self.c
+        pos, neg = self.pos, self.neg
+        pos_original = pos.size
+        neg_original = int(pos_original * c.nps[t])
+        neg_rejected = 0
+        normalization_step = c.landmark_n * c.score_normalization_steps[t]
+        drop_n = c.drops[t]
+        neg_th = int(pos.size * c.nps[t] * c.mining_th[t])
+
+        start_cart = self.model.cart_idx + 1
+        restarts = 0
+        best_drop_rate = 0.0
+        best_cart_snapshot = None
+
+        k = start_cart
+        while k < c.K:
+            kk = k + 1
+            if neg.size < neg_th:
+                self.more_neg_samples(t, k)
+                neg_th = int(neg.size * c.mining_th[t])
+            DataSet.update_weights(pos, neg)
+
+            t0 = time.time()
+            self.train_cart(t, k)
+            self.model.cart_idx = k
+            self.update_scores(pos, t, k)
+            self.update_scores(neg, t, k)
+            if kk % normalization_step == 0:
+                mean, std = DataSet.calc_mean_std(pos, neg)
+                self.model.mean[t, k] = mean
+                self.model.std[t, k] = std
+                pos.apply_mean_std(mean, std)
+                neg.apply_mean_std(mean, std)
+            else:
+                self.model.mean[t, k] = 0.0
+                self.model.std[t, k] = 1.0
+
+            th = pos.calc_threshold_by_number(drop_n)
+            self.model.cart_th[t, k] = th
+            pos_n, neg_n = pos.size, neg.size
+            will_remove = neg.pre_remove(th)
+            tmp_drop = will_remove / max(neg_n, 1)
+            n_carts = t * c.K + k
+            if (
+                c.restart_on
+                and tmp_drop < c.restart_th[t]
+                and n_carts > 10
+            ):
+                restarts += 1
+                log(
+                    f"cart {kk}: drop rate {tmp_drop*100:.3f}% below "
+                    f"restart threshold; restart {restarts}"
+                )
+                if tmp_drop > best_drop_rate:
+                    best_drop_rate = tmp_drop
+                    best_cart_snapshot = self._cart_params(t, k)
+                if restarts >= c.restart_times:
+                    self._restore_cart(t, k, best_cart_snapshot)
+                    best_drop_rate = 0.0
+                    pos.reset_scores()
+                    neg.reset_scores()
+                    self.update_scores(pos, t, k)
+                    self.update_scores(neg, t, k)
+                    if kk % normalization_step == 0:
+                        mean, std = DataSet.calc_mean_std(pos, neg)
+                        self.model.mean[t, k] = mean
+                        self.model.std[t, k] = std
+                        pos.apply_mean_std(mean, std)
+                        neg.apply_mean_std(mean, std)
+                    else:
+                        self.model.mean[t, k] = 0.0
+                        self.model.std[t, k] = 1.0
+                else:
+                    pos.reset_scores()
+                    neg.reset_scores()
+                    continue  # retrain cart k
+
+            best_drop_rate = 0.0
+            restarts = 0
+            pos.remove(self.model.cart_th[t, k])
+            neg.remove(self.model.cart_th[t, k])
+            neg_rejected += neg_n - neg.size
+            log(
+                f"stage {t+1} cart {kk}/{c.K}: {time.time()-t0:.2f}s, "
+                f"pos {pos.size}, neg {neg.size}, "
+                f"neg drop {(neg_n-neg.size)/max(neg_n,1)*100:.2f}%"
+            )
+            if kk != c.K and kk % c.snapshot_iter == 0:
+                self.snapshot()
+            k += 1
+
+        # global regression over LBF (btcart.cpp:255-292)
+        log(f"stage {t+1}: global shape regression")
+        pos_live = pos.live_idx()
+        neg_live = neg.live_idx()
+        pos_lbf = self.gen_lbf(pos, t)
+        neg_lbf = (
+            self.gen_lbf(neg, t) if neg.size else np.zeros((0, c.K), np.int32)
+        )
+        has_gt = pos.shape_mask[pos_live] == 1
+        valid = pos_live[has_gt]
+        resid = pos.shape_residual(valid).astype(np.float32)
+        W = RG.ridge_lbf(pos_lbf[has_gt], resid, c.lbf_dim)
+        self.model.W[t] = W
+
+        for ds, lbf, lidx in ((pos, pos_lbf, pos_live), (neg, neg_lbf, neg_live)):
+            if ds.size == 0:
+                continue
+            delta = W[lbf].sum(axis=1)  # [size, 2L]
+            ds.current_shapes[lidx] += st_apply(ds.stp_mc[lidx], delta)
+
+        err = calc_mean_error(
+            pos.gt_shapes[valid],
+            pos.current_shapes[valid],
+            c.left_pupils,
+            c.right_pupils,
+        )
+        accept = pos.size / max(pos_original, 1)
+        reject = neg_rejected / max(neg_rejected + neg_original, 1)
+        log(
+            f"stage {t+1} done: mean error {err:.4f}, "
+            f"accept {accept*100:.2f}%, reject {reject*100:.2f}%"
+        )
+        self.stats["stages"].append(
+            {"stage": t, "mean_error": float(err), "accept": float(accept)}
+        )
+
+    def _cart_params(self, t, k):
+        m = self.model
+        return (
+            m.scale[t, k].copy(),
+            m.lmk1[t, k].copy(),
+            m.lmk2[t, k].copy(),
+            m.off1[t, k].copy(),
+            m.off2[t, k].copy(),
+            m.feat_th[t, k].copy(),
+            m.leaf_scores[t, k].copy(),
+            m.cart_th[t, k].copy(),
+        )
+
+    def _restore_cart(self, t, k, snap):
+        m = self.model
+        (
+            m.scale[t, k],
+            m.lmk1[t, k],
+            m.lmk2[t, k],
+            m.off1[t, k],
+            m.off2[t, k],
+            m.feat_th[t, k],
+            m.leaf_scores[t, k],
+            m.cart_th[t, k],
+        ) = snap
+
+    # -- top level (JoinCascador::Train, cascador.cpp:33-55) -----------------
+
+    def train(self) -> CascadeParams:
+        c = self.c
+        for t in range(self.model.stage_idx, c.T):
+            self.model.stage_idx = t
+            log(f"========== train stage {t+1}/{c.T} ==========")
+            self.pos.calc_st_parameters(self.model.mean_shape)
+            self.neg.calc_st_parameters(self.model.mean_shape)
+            self.train_stage(t)
+            self.model.cart_idx = -1
+            self.snapshot(stage_done=True)
+        self.model.stage_idx = c.T
+        self.model.cart_idx = -1
+        return self.model
+
+    def snapshot(self, stage_done: bool = False) -> None:
+        if not self.snapshot_dir:
+            return
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        tag = time.strftime("%Y%m%d-%H%M%S")
+        t, k = self.model.stage_idx, self.model.cart_idx
+        mpath = os.path.join(
+            self.snapshot_dir, f"jda_tmp_{tag}_stage_{t+1}_cart_{k+1}.model"
+        )
+        save_model(self.model, mpath, dtype="double")
+        dpath = os.path.join(
+            self.snapshot_dir, f"jda_data_{tag}_stage_{t+1}_cart_{k+1}.data"
+        )
+        DataSet.snapshot(self.pos, self.neg, dpath)
+        log(f"snapshot -> {mpath}")

@@ -1,0 +1,289 @@
+"""Training stack tests: split search vs numpy golden, corpus snapshot
+roundtrip, and a tiny end-to-end cascade training run on synthetic faces."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jda_tpu.config import Config
+from jda_tpu.data import DataSet, patch_row
+from jda_tpu.train import split as SP
+from jda_tpu.train import features as FT
+from jda_tpu.train.boost import Trainer, empty_model
+from jda_tpu.utils import calc_mean_error
+
+
+# ---------------------------------------------------------------------------
+# split search vs straightforward numpy implementations of the reference
+# ---------------------------------------------------------------------------
+
+def _np_classification_split(vp, wp, vn, wn):
+    """Direct port of the scan in cart.cpp:176-252 (float64)."""
+    F = vp.shape[1]
+    best = (np.inf, 0, -256)
+    for f in range(F):
+        hp = np.zeros(511)
+        hn = np.zeros(511)
+        cp = np.zeros(511, int)
+        cn = np.zeros(511, int)
+        np.add.at(hp, vp[:, f] + 255, wp)
+        np.add.at(hn, vn[:, f] + 255, wn)
+        np.add.at(cp, vp[:, f] + 255, 1)
+        np.add.at(cn, vn[:, f] + 255, 1)
+        w = hp.sum() + hn.sum()
+
+        def H(p):
+            if abs(p) < 1e-9 or abs(1 - p) < 1e-9:
+                return 0.0
+            return -(p * np.log(p) + (1 - p) * np.log(1 - p)) / np.log(2)
+
+        entropy = H(hp.sum() / w)
+        th_best = -256
+        wpl = wnl = 0.0
+        cpl = cnl = 0
+        for th in range(-255, 256):
+            i = th + 255
+            wpl += hp[i]
+            wnl += hn[i]
+            cpl += cp[i]
+            cnl += cn[i]
+            pr = cpl / len(vp)
+            nr = cnl / len(vn)
+            if pr < 0.1 or pr > 0.9 or nr < 0.1 or nr > 0.9:
+                continue
+            wl = wpl + wnl
+            wr = w - wl
+            e = (wl / w) * H(wpl / wl) + (wr / w) * H((hp.sum() - wpl) / wr)
+            if e < entropy:
+                entropy = e
+                th_best = th
+        if entropy < best[0]:
+            best = (entropy, f, th_best)
+    return best[1], best[2]
+
+
+def test_classification_split_matches_numpy():
+    rng = np.random.default_rng(0)
+    Mp, Mn, F = 80, 120, 12
+    vp = rng.integers(-40, 41, (Mp, F)).astype(np.int32)
+    vn = rng.integers(-40, 41, (Mn, F)).astype(np.int32)
+    wp = rng.uniform(0.1, 1.0, Mp)
+    wn = rng.uniform(0.1, 1.0, Mn)
+    f_ref, th_ref = _np_classification_split(vp, wp, vn, wn)
+    f, th, _ = SP.classification_split(
+        jnp.asarray(vp),
+        jnp.asarray(wp, jnp.float32),
+        jnp.ones(Mp, bool),
+        jnp.asarray(vn),
+        jnp.asarray(wn, jnp.float32),
+        jnp.ones(Mn, bool),
+    )
+    assert (int(f), int(th)) == (f_ref, th_ref)
+
+
+def test_regression_split_matches_numpy():
+    rng = np.random.default_rng(1)
+    Mp, F = 100, 10
+    vp = rng.integers(-30, 31, (Mp, F)).astype(np.int32)
+    resid = rng.normal(0, 0.1, (Mp, 2))
+    has_gt = rng.uniform(size=Mp) > 0.1
+    u = rng.uniform(0.1, 0.9, F).astype(np.float32)
+
+    # numpy golden (cart.cpp:288-350)
+    best = (np.inf, 0, -256)
+    for f in range(F):
+        th = int(np.sort(vp[:, f])[int(Mp * u[f])])
+        lm = (vp[:, f] <= th) & has_gt
+        rm = (vp[:, f] > th) & has_gt
+
+        def var(mask, d):
+            v = resid[mask, d]
+            if len(v) == 0:
+                return 0.0
+            return v.var()
+
+        metric = (var(lm, 0) + var(lm, 1)) * lm.sum() + (
+            var(rm, 0) + var(rm, 1)
+        ) * rm.sum()
+        if metric < best[0]:
+            best = (metric, f, th)
+
+    f, th, _ = SP.regression_split(
+        jnp.asarray(vp),
+        jnp.asarray(resid, jnp.float32),
+        jnp.asarray(has_gt),
+        jnp.ones(Mp, bool),
+        jnp.asarray(u),
+    )
+    assert (int(f), int(th)) == (best[1], best[2])
+
+
+def test_onehot_landmark_select_exact():
+    """The MXU one-hot select must be bit-exact vs direct indexing."""
+    from jda_tpu.ops.cascade import _onehot_select
+
+    rng = np.random.default_rng(2)
+    vec = rng.uniform(0, 1, (257, 27)).astype(np.float32)
+    lmk = rng.integers(0, 27, 133).astype(np.int32)
+    out = np.asarray(_onehot_select(jnp.asarray(vec), jnp.asarray(lmk)))
+    np.testing.assert_array_equal(out, vec[:, lmk])
+
+
+# ---------------------------------------------------------------------------
+# synthetic face corpus
+# ---------------------------------------------------------------------------
+
+CANON = np.array(
+    [[0.30, 0.35], [0.70, 0.35], [0.50, 0.55], [0.35, 0.75], [0.65, 0.75]]
+)
+
+
+def _tiny_config(**kw) -> Config:
+    base = dict(
+        T=2,
+        K=16,
+        landmark_n=5,
+        tree_depth=4,
+        shift_size=0.05,
+        multi_scale=False,
+        img_o_size=32,
+        img_h_size=24,
+        img_q_size=16,
+        mining_th=(0.5, 0.5),
+        feats=(60, 60),
+        radius=(0.3, 0.2),
+        probs=(0.8, 0.5),
+        recall=(0.99, 0.99),
+        drops=(1, 1),
+        nps=(1.0, 1.0),
+        score_normalization_steps=(2, 2),
+        restart_on=False,
+        face_augment_on=False,
+        left_pupils=(0,),
+        right_pupils=(1,),
+        snapshot_iter=10_000,
+        seed=3,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_face(rng, size, jitter=0.02):
+    img = rng.integers(110, 150, (size, size)).astype(np.int32)
+    lm = CANON + rng.normal(0, jitter, CANON.shape)
+    for gx, gy in lm:
+        x, y = int(gx * size), int(gy * size)
+        img[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3] = 20  # dark blob
+    # bright forehead band, face-like structure
+    img[2 : size // 4, size // 4 : 3 * size // 4] += 60
+    return np.clip(img, 0, 255).astype(np.uint8), lm.reshape(-1)
+
+
+def build_synthetic(c: Config, n_pos=250, n_bg=8, seed=5):
+    rng = np.random.default_rng(seed)
+    rows, gts = [], []
+    for _ in range(n_pos):
+        face, lm = make_face(rng, c.img_o_size)
+        rows.append(patch_row(face, c))
+        gts.append(lm)
+    # backgrounds with face-like distractors so hard negatives exist
+    bgs = []
+    for _ in range(n_bg):
+        bg = rng.integers(60, 200, (160, 160)).astype(np.int32)
+        for _ in range(40):  # scattered dark blobs + bright bands
+            x, y = rng.integers(2, 156, 2)
+            bg[y : y + 3, x : x + 3] = 20
+        for _ in range(6):
+            x, y = rng.integers(0, 120, 2)
+            w, h = rng.integers(10, 40, 2)
+            bg[y : y + h // 4, x : x + w] += 60
+        bgs.append(np.clip(bg, 0, 255).astype(np.uint8))
+    return np.stack(rows), np.stack(gts), bgs
+
+
+# ---------------------------------------------------------------------------
+# end-to-end tiny training
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained():
+    c = _tiny_config()
+    tr = Trainer(c)
+    tr.mining_max_batches = 40  # synthetic bg pool is small
+    rows, gts, bgs = build_synthetic(c)
+    tr.set_synthetic_data(rows, gts, bgs)
+    init_err = calc_mean_error(
+        tr.pos.gt_shapes, tr.pos.current_shapes, c.left_pupils, c.right_pupils
+    )
+    tr.train()
+    return c, tr, init_err
+
+
+def test_training_separates_scores(trained):
+    c, tr, _ = trained
+    pl = tr.pos.live_idx()
+    assert tr.pos.size > 0.5 * 250
+    # RealBoost drives surviving positives to strongly positive scores
+    assert tr.pos.scores[pl].mean() > 1.0
+
+
+def test_training_reduces_alignment_error(trained):
+    c, tr, init_err = trained
+    pl = tr.pos.live_idx()
+    final_err = calc_mean_error(
+        tr.pos.gt_shapes[pl],
+        tr.pos.current_shapes[pl],
+        c.left_pupils,
+        c.right_pupils,
+    )
+    assert final_err < init_err * 0.9, (init_err, final_err)
+
+
+def test_trained_validator_discriminates(trained):
+    c, tr, _ = trained
+    rng = np.random.default_rng(99)
+    faces = np.stack(
+        [patch_row(make_face(rng, c.img_o_size)[0], c) for _ in range(64)]
+    )
+    noise = np.stack(
+        [
+            patch_row(
+                rng.integers(0, 256, (c.img_o_size, c.img_o_size)).astype(
+                    np.uint8
+                ),
+                c,
+            )
+            for _ in range(64)
+        ]
+    )
+    validate = tr.make_validator(c.T, -1)
+    ok_f, _, _, _ = validate(faces)
+    ok_n, _, _, _ = validate(noise)
+    assert ok_f.mean() > 0.6, f"face accept rate {ok_f.mean()}"
+    assert ok_n.mean() < 0.3, f"noise accept rate {ok_n.mean()}"
+
+
+def test_trained_model_roundtrip(trained, tmp_path):
+    from jda_tpu.params import save_model, load_model
+
+    c, tr, _ = trained
+    path = str(tmp_path / "tiny.model")
+    tr.model.stage_idx, tr.model.cart_idx = c.T, -1
+    save_model(tr.model, path)
+    m2 = load_model(path)
+    np.testing.assert_allclose(m2.W, tr.model.W)
+    np.testing.assert_array_equal(m2.feat_th, tr.model.feat_th)
+
+
+def test_corpus_snapshot_roundtrip(trained, tmp_path):
+    c, tr, _ = trained
+    path = str(tmp_path / "corpus.data")
+    DataSet.snapshot(tr.pos, tr.neg, path)
+    pos2, neg2 = DataSet(c, True), DataSet(c, False)
+    DataSet.resume(path, pos2, neg2)
+    np.testing.assert_array_equal(pos2.imgs, tr.pos.imgs)
+    np.testing.assert_allclose(pos2.current_shapes, tr.pos.current_shapes)
+    np.testing.assert_allclose(pos2.scores, tr.pos.scores)
+    np.testing.assert_allclose(neg2.weights, tr.neg.weights)
+    np.testing.assert_array_equal(pos2.shape_mask, tr.pos.shape_mask)
