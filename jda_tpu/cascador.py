@@ -1,0 +1,302 @@
+"""C++-path detection: JoinCascador::Detect with both fddb methods.
+
+The reference ships two multi-scale scanners (selected by fddb.method,
+/root/reference/src/jda/cascador.cpp:431-443):
+
+  * method 0 (detectMultiScale, cascador.cpp:216-308): shrink-image
+    pyramid with a fixed window of img_o_size; every window is resized to
+    the o/h/q patch triple with cv::resize before validation;
+  * method 1 (detectMultiScale1, cascador.cpp:310-376): fixed full-res
+    o/h/q images (h = 1/sqrt(2), q = 1/2), growing window from
+    fddb_minimum_size, zero-copy ROI patches with true per-scale dims.
+
+Both use C++ semantics: std::round feature coordinates, mean-shape init
+(shift_size forced to 0 by the fddb/test commands, src/test.cpp:17,75),
+multimap NMS in score order.  TPU mapping: method 1 windows address the
+flat image pyramid directly (one geometry batch + dense stage-0 filter);
+method 0 builds patch batches on host (the per-window cv::resize is
+inherent to its definition) and validates them on device in bulk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.config import Config
+from jda_tpu.params import CascadeParams
+from jda_tpu.detect import Detector, _bucket
+from jda_tpu.ops import cascade as C
+from jda_tpu.ops import dense0 as D0
+from jda_tpu.ops import nms as NMS
+from jda_tpu.ops import resize as R
+
+
+@dataclasses.dataclass
+class DetectionStatistic:
+    """DetectionStatisic (cascador.hpp:14-25)."""
+
+    patch_n: int = 0
+    face_patch_n: int = 0
+    nonface_patch_n: int = 0
+    cart_gothrough_n: int = 0
+
+    @property
+    def average_cart_n(self) -> float:
+        return self.cart_gothrough_n / max(self.nonface_patch_n, 1)
+
+    def add(self, other: "DetectionStatistic") -> None:
+        self.patch_n += other.patch_n
+        self.face_patch_n += other.face_patch_n
+        self.nonface_patch_n += other.nonface_patch_n
+        self.cart_gothrough_n += other.cart_gothrough_n
+
+
+class CppDetector:
+    """`jda test` / `jda fddb` detection pipeline."""
+
+    def __init__(self, params: CascadeParams, config: Config):
+        self.params = params
+        self.c = config
+        self.det = Detector(params)  # shares jitted kernels + device model
+        self._tab_cache: Dict = {}
+
+    # -- method 1: ROI windows over a fixed o/h/q pyramid -------------------
+
+    def _enumerate_m1(self, W: int, H: int):
+        c = self.c
+        xs, ys, ws, scales = [], [], [], []
+        win = c.fddb_minimum_size
+        step = c.fddb_step
+        while win <= W and win <= H:
+            yy = np.arange(0, H - win + 1, step, dtype=np.int32)
+            xx = np.arange(0, W - win + 1, step, dtype=np.int32)
+            if len(yy) and len(xx):
+                gy, gx = np.meshgrid(yy, xx, indexing="ij")
+                xs.append(gx.reshape(-1))
+                ys.append(gy.reshape(-1))
+                ws.append(np.full(gx.size, win, np.int32))
+                scales.append((win, step, len(yy), len(xx)))
+            win = int(win * c.fddb_scale_factor)
+        if not xs:
+            z = np.zeros(0, np.int32)
+            return z, z, z, []
+        return np.concatenate(xs), np.concatenate(ys), np.concatenate(ws), scales
+
+    def _geometry_m1(self, x, y, win, offsets, strides):
+        """True per-scale ROI dims (cascador.cpp:335-343): h at
+        (int(x/r), int(y/r)) size int(win/r); q at (x/2, y/2) size win/2."""
+        r = math.sqrt(2.0)
+        hx = (x / r).astype(np.int32)
+        hy = (y / r).astype(np.int32)
+        base = np.stack(
+            [
+                offsets[0] + y.astype(np.int64) * strides[0] + x,
+                offsets[1] + hy.astype(np.int64) * strides[1] + hx,
+                offsets[2] + (y // 2).astype(np.int64) * strides[2] + x // 2,
+            ],
+            axis=1,
+        ).astype(np.int32)
+        n = len(x)
+        stride = np.broadcast_to(strides[None, :], (n, 3)).astype(np.int32).copy()
+        pw = np.stack(
+            [win, (win / r).astype(np.int32), win // 2], axis=1
+        ).astype(np.int32)
+        return {"base": base, "stride": stride, "pw": pw, "ph": pw.copy()}
+
+    def _dense_filter_m1(self, gray, scales):
+        """Dense stage-0 filter with C++ rounding semantics; valid because
+        single-scale models read only the origin image, where method-1
+        windows have pw = ph = win and full-image stride."""
+        tabs = []
+        det = self.det
+        use_pallas = False  # see detect.py note on the pallas variant
+        for win, step, _, _ in scales:
+            key = (win, step, "round")
+            if key not in self._tab_cache:
+                self._tab_cache[key] = D0.node_tables(
+                    det._ms32, det._host_stage0, win, step, rounding=True
+                )
+            tabs.append(self._tab_cache[key])
+        img_dev = jnp.asarray(gray.astype(np.int32))[None]
+        score, alive, nvis = D0.stage0_filter_all_scales(
+            img_dev, tuple(tabs), meta=tuple(scales), depth=self.params.tree_depth
+        )
+        return np.asarray(score[0]), np.asarray(alive[0]), np.asarray(nvis[0])
+
+    def _detect_m1(self, gray: np.ndarray, stat: DetectionStatistic):
+        import cv2
+
+        H, W = gray.shape
+        r = math.sqrt(2.0)
+        img_h = cv2.resize(gray, (int(W / r), int(H / r)))
+        img_q = cv2.resize(gray, (W // 2, H // 2))
+        flat, offsets, strides = R.stack_pyramid((gray, img_h, img_q))
+        flat_dev = jnp.asarray(flat.astype(np.int32))
+
+        x, y, win, scales = self._enumerate_m1(W, H)
+        n = len(x)
+        if n == 0:
+            return np.zeros((0, 4), np.int32), np.zeros(0), np.zeros(
+                (0, self.params.landmark_dim)
+            )
+        geom = self._geometry_m1(x, y, win, offsets, strides)
+        dense = (
+            self._dense_filter_m1(gray, scales)
+            if self.det.single_scale
+            else None
+        )
+        res = self.det._run_batch(
+            flat_dev, geom, n, rounding=True, dense_result=dense
+        )
+        alive = res["alive"]
+        stat.patch_n += n
+        stat.face_patch_n += int(alive.sum())
+        stat.nonface_patch_n += int((~alive).sum())
+        stat.cart_gothrough_n += int(res["nvis"][~alive].sum())
+        keep = np.flatnonzero(alive)
+        rects = np.stack([x[keep], y[keep], win[keep], win[keep]], 1).astype(
+            np.int32
+        )
+        return rects, res["score"][keep].astype(np.float64), res["shape"][
+            keep
+        ].astype(np.float64)
+
+    # -- method 0: shrink pyramid + per-window patch resize ------------------
+
+    def _validate_patches(self, rows: np.ndarray):
+        """Batched JoinCascador::Validate on o/h/q patch rows (shift 0)."""
+        c = self.c
+        dims = (c.img_o_size, c.img_h_size, c.img_q_size)
+        m = len(rows)
+        b = _bucket(m, 256)
+        flat = np.zeros((b, rows.shape[1]), np.int32)
+        flat[:m] = rows
+        from jda_tpu.train import features as FT
+
+        geom = FT.corpus_geometry(b, dims)
+        state = C.init_state(
+            b,
+            self.det.dev["mean_shape"],
+            jnp.asarray(geom["base"]),
+            jnp.asarray(geom["stride"]),
+            jnp.asarray(geom["pw"]),
+            jnp.asarray(geom["ph"]),
+            jnp.asarray(np.arange(b) < m),
+        )
+        out = C.cascade_full(
+            self.det.dev,
+            jnp.asarray(flat.reshape(-1)),
+            state,
+            depth=self.params.tree_depth,
+            rounding=True,
+            leaf_n=self.params.leaf_n,
+            T=self.params.T,
+            exact=True,
+            single_scale=self.det.single_scale,
+        )
+        return (
+            np.asarray(out["alive"])[:m],
+            np.asarray(out["score"])[:m],
+            np.asarray(out["shape"])[:m],
+            np.asarray(out["nvis"])[:m],
+        )
+
+    def _detect_m0(self, gray: np.ndarray, stat: DetectionStatistic):
+        import cv2
+
+        c = self.c
+        win = c.img_o_size
+        step = c.fddb_step
+        factor = c.fddb_scale_factor
+        img = gray.copy()
+        scale = 1.0
+        all_rects: List[np.ndarray] = []
+        all_scores: List[np.ndarray] = []
+        all_shapes: List[np.ndarray] = []
+        D = sum(
+            d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size)
+        )
+        while img.shape[0] >= win and img.shape[1] >= win:
+            ys = np.arange(0, img.shape[0] - win + 1, step)
+            xs = np.arange(0, img.shape[1] - win + 1, step)
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            gx = gx.reshape(-1)
+            gy = gy.reshape(-1)
+            rows = np.zeros((len(gx), D), np.uint8)
+            for i, (wx, wy) in enumerate(zip(gx, gy)):
+                roi = img[wy : wy + win, wx : wx + win]
+                o = cv2.resize(roi, (c.img_o_size, c.img_o_size))
+                h = cv2.resize(roi, (c.img_h_size, c.img_h_size))
+                q = cv2.resize(roi, (c.img_q_size, c.img_q_size))
+                rows[i] = np.concatenate(
+                    [o.reshape(-1), h.reshape(-1), q.reshape(-1)]
+                )
+            if len(rows):
+                alive, score, shape, nvis = self._validate_patches(rows)
+                stat.patch_n += len(rows)
+                stat.face_patch_n += int(alive.sum())
+                stat.nonface_patch_n += int((~alive).sum())
+                stat.cart_gothrough_n += int(nvis[~alive].sum())
+                keep = np.flatnonzero(alive)
+                if len(keep):
+                    rects = np.stack(
+                        [
+                            (gx[keep] * scale).astype(np.int32),
+                            (gy[keep] * scale).astype(np.int32),
+                            np.full(len(keep), int(win * scale), np.int32),
+                            np.full(len(keep), int(win * scale), np.int32),
+                        ],
+                        1,
+                    )
+                    all_rects.append(rects)
+                    all_scores.append(score[keep].astype(np.float64))
+                    all_shapes.append(shape[keep].astype(np.float64))
+            scale *= factor
+            nw = int(img.shape[1] / factor)
+            nh = int(img.shape[0] / factor)
+            if nw < 1 or nh < 1:
+                break
+            img = cv2.resize(img, (nw, nh))
+        if not all_rects:
+            return (
+                np.zeros((0, 4), np.int32),
+                np.zeros(0),
+                np.zeros((0, self.params.landmark_dim)),
+            )
+        return (
+            np.concatenate(all_rects),
+            np.concatenate(all_scores),
+            np.concatenate(all_shapes),
+        )
+
+    # -- public: JoinCascador::Detect (cascador.cpp:431-477) ----------------
+
+    def detect(
+        self, gray: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, DetectionStatistic]:
+        """Returns (rects [n,4], scores [n], shapes [n,2L] absolute,
+        statistic)."""
+        assert gray.dtype == np.uint8 and gray.ndim == 2
+        c = self.c
+        stat = DetectionStatistic()
+        if c.fddb_detect_method == 0:
+            rects, scores, shapes = self._detect_m0(gray, stat)
+        else:
+            rects, scores, shapes = self._detect_m1(gray, stat)
+
+        if c.fddb_nms:
+            picked = NMS.nms_cpp(rects, scores, c.fddb_overlap)
+        else:
+            picked = np.arange(len(rects))
+        rects = rects[picked]
+        scores = scores[picked]
+        shapes = shapes[picked].copy()
+        shapes[:, 0::2] = rects[:, 0:1] + shapes[:, 0::2] * rects[:, 2:3]
+        shapes[:, 1::2] = rects[:, 1:2] + shapes[:, 1::2] * rects[:, 3:4]
+        return rects, scores, shapes, stat

