@@ -36,7 +36,8 @@ def main():
     from jda_tpu import oracle
 
     H, W = 480, 640
-    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
     kw = dict(scale=1.25, min_size=24, max_size=-1, th=-0.5)
 
     model = P.synthetic_model(
@@ -46,14 +47,14 @@ def main():
         seed=7,
         drop_profile=P.realistic_drop_profile(5, 540),
     )
-    img = make_image(H, W, seed=3)
+    imgs = [make_image(H, W, seed=3 + i) for i in range(BATCH)]
 
     det = Detector(model)
-    det.detect(img, **kw)  # warmup: compile every stage bucket
+    det.detect_batch(imgs, **kw)  # warmup: compile every bucket
     t0 = time.perf_counter()
     for _ in range(REPS):
-        res = det.detect(img, **kw)
-    ours_ips = REPS / (time.perf_counter() - t0)
+        results = det.detect_batch(imgs, **kw)
+    ours_ips = BATCH * REPS / (time.perf_counter() - t0)
 
     vs = None
     if oracle.available():
@@ -63,12 +64,11 @@ def main():
             mp = os.path.join(d, "bench.model")
             P.save_model(model, mp, dtype="double")
             orc = oracle.Oracle(mp, dtype="double")
-            orc.detect(img, **kw)  # warmup/IO
+            orc.detect(imgs[0], **kw)  # warmup/IO
             t0 = time.perf_counter()
-            oreps = max(1, REPS // 2)
-            for _ in range(oreps):
+            for img in imgs[: max(2, BATCH // 2)]:
                 orc.detect(img, **kw)
-            ref_ips = oreps / (time.perf_counter() - t0)
+            ref_ips = max(2, BATCH // 2) / (time.perf_counter() - t0)
             del orc
         vs = ours_ips / ref_ips
 

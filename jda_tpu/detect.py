@@ -455,7 +455,11 @@ class Detector:
         if th is None:
             th = self.final_th_default
         img_h, img_w = gray.shape
-        o, h, q = R.pyramid_c(gray)
+        if self.single_scale:
+            # single-scale models never read the half/quarter levels
+            o, h, q = gray, np.zeros((1, 1), np.uint8), np.zeros((1, 1), np.uint8)
+        else:
+            o, h, q = R.pyramid_c(gray)
         flat, offsets, strides = R.stack_pyramid((o, h, q))
         # int32 pixels: TPU gathers from a uint8 source hit a scalar fallback
         # (~600x slower measured); the pyramid is tiny so widening is free
@@ -568,6 +572,194 @@ class Detector:
         return DetectionResult(
             len(picked), self.params.landmark_n, bboxes, out, cscores
         )
+
+
+    # -- batched multi-image detection ---------------------------------------
+
+    def detect_batch(
+        self,
+        grays: List[np.ndarray],
+        scale: float = 1.25,
+        min_size: int = 24,
+        max_size: int = -1,
+        th: Optional[float] = None,
+        nms_overlap: float = 0.3,
+    ) -> List[DetectionResult]:
+        """jdaDetect over a batch of images in shared device dispatches.
+
+        Images are placed top-left in canonical (max-dims) pyramid planes;
+        windows are enumerated once on the canonical grid with per-image
+        validity masks, the dense stage-0 filter runs with a batch axis,
+        and every image's survivors share one tail-cascade dispatch.
+        Per-image results are identical to detect() for single-scale
+        models (windows never read outside their own image at the origin
+        level); multi-scale models fall back to per-image detection.
+        """
+        if th is None:
+            th = self.final_th_default
+        if not (self.single_scale and self.T > 0) or len(grays) == 1:
+            return [
+                self.detect(
+                    g,
+                    scale=scale,
+                    min_size=min_size,
+                    max_size=max_size,
+                    th=th,
+                    nms_overlap=nms_overlap,
+                )
+                for g in grays
+            ]
+
+        B = len(grays)
+        Hc = max(g.shape[0] for g in grays)
+        Wc = max(g.shape[1] for g in grays)
+        L2 = self.params.landmark_dim
+        min_size = max(min_size, 24)
+        ms_c = max_size if max_size > 0 else min(Wc, Hc)
+        ms_c = min(ms_c, Wc, Hc)
+
+        x, y, win, scales = enumerate_windows(Wc, Hc, scale, min_size, ms_c)
+        n = len(x)
+        if n == 0:
+            return [
+                DetectionResult(
+                    0,
+                    self.params.landmark_n,
+                    np.zeros((0, 3), np.int32),
+                    np.zeros((0, L2), np.float32),
+                    np.zeros((0,), np.float32),
+                )
+                for _ in grays
+            ]
+
+        # canonical pyramid planes; each image resized at its OWN dims then
+        # placed top-left (single-scale models only read the origin level
+        # inside the window, so placement is exact)
+        # single-scale models read only the origin level, so the "pyramid"
+        # is one uint8 plane per image, uploaded once and widened on device
+        # (h/q level geometry points at index 0, never dereferenced)
+        Dc = Hc * Wc
+        offsets = np.asarray([0, 0, 0], np.int64)
+        strides = np.asarray([Wc, 1, 1], np.int32)
+        imgs_u8 = np.zeros((B, Hc, Wc), np.uint8)
+        for i, g in enumerate(grays):
+            h_i, w_i = g.shape
+            imgs_u8[i, :h_i, :w_i] = g
+
+        # per-image window validity on the canonical grid
+        masks = np.stack(
+            [
+                (x <= g.shape[1] - win) & (y <= g.shape[0] - win)
+                for g in grays
+            ]
+        )  # [B, n]
+        if max_size > 0:
+            pass  # shared ladder already bounded by ms_c
+        else:
+            for i, g in enumerate(grays):
+                masks[i] &= win <= min(g.shape[1], g.shape[0])
+
+        # batched dense stage-0
+        tabs = []
+        for w_, s_, _, _ in scales:
+            key = (w_, s_, False)
+            if key not in self._tab_cache:
+                self._tab_cache[key] = D0.node_tables(
+                    self._ms32, self._host_stage0, w_, s_
+                )
+            tabs.append(self._tab_cache[key])
+        imgs_dev = jnp.asarray(imgs_u8).astype(jnp.int32)  # widen on device
+        score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
+            imgs_dev, tuple(tabs), meta=tuple(scales), depth=self.depth,
+        )
+        alive_d = np.asarray(alive_d) & masks  # [B, n]
+        score_d = np.asarray(score_d)
+
+        # shared tail cascade over all images' survivors
+        geom_c = window_geometry(x, y, win, offsets, strides)
+        bi, wi = np.nonzero(alive_d)  # image idx, window idx
+        m = len(bi)
+        out_scores = [score_d[i].copy() for i in range(B)]
+        out_alive = [np.zeros(n, bool) for i in range(B)]
+        out_shapes = [
+            np.tile(
+                np.asarray(self.dev["mean_shape"], np.float32), (n, 1)
+            )
+            for _ in range(B)
+        ]
+        flat_dev = imgs_dev.reshape(-1)
+        for s0 in range(0, m, self.SLAB):
+            idxs = slice(s0, min(s0 + self.SLAB, m))
+            bsel, wsel = bi[idxs], wi[idxs]
+            mm = len(bsel)
+            b = min(_bucket(mm), self.SLAB)
+            pad = b - mm
+
+            def padg(a, fill=0):
+                if pad:
+                    a = np.concatenate(
+                        [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+                    )
+                return jnp.asarray(a)
+
+            base = geom_c["base"][wsel] + (bsel[:, None] * Dc).astype(np.int32)
+            state = C.init_state(
+                b,
+                self.dev["mean_shape"],
+                padg(base),
+                padg(geom_c["stride"][wsel], 1),
+                padg(geom_c["pw"][wsel], 1),
+                padg(geom_c["ph"][wsel], 1),
+                jnp.asarray(
+                    np.concatenate([np.ones(mm, bool), np.zeros(pad, bool)])
+                ),
+            )
+            out = C.cascade_full(
+                self.dev,
+                flat_dev,
+                state,
+                depth=self.depth,
+                rounding=False,
+                leaf_n=self.leaf_n,
+                T=self.T,
+                exact=True,
+                single_scale=True,
+            )
+            sc = np.asarray(out["score"])[:mm]
+            al = np.asarray(out["alive"])[:mm]
+            sh = np.asarray(out["shape"])[:mm]
+            for j in range(mm):
+                out_scores[bsel[j]][wsel[j]] = sc[j]
+                out_alive[bsel[j]][wsel[j]] = al[j]
+                out_shapes[bsel[j]][wsel[j]] = sh[j]
+
+        results = []
+        for i in range(B):
+            keep = out_alive[i] & (out_scores[i] >= th)
+            cand = np.flatnonzero(keep)
+            bboxes = np.stack([x[cand], y[cand], win[cand]], axis=1).astype(
+                np.int32
+            )
+            cscores = out_scores[i][cand].astype(np.float32)
+            cshapes = out_shapes[i][cand]
+            picked = NMS.nms_c(bboxes, cscores, nms_overlap)
+            bboxes = bboxes[picked]
+            cscores = cscores[picked]
+            cshapes = cshapes[picked]
+            sz = bboxes[:, 2:3].astype(np.float32)
+            out = cshapes.copy()
+            out[:, 0::2] = out[:, 0::2] * sz + bboxes[:, 0:1]
+            out[:, 1::2] = out[:, 1::2] * sz + bboxes[:, 1:2]
+            results.append(
+                DetectionResult(
+                    len(picked),
+                    self.params.landmark_n,
+                    bboxes,
+                    out,
+                    cscores,
+                )
+            )
+        return results
 
 
 def detect(params: CascadeParams, gray: np.ndarray, **kw) -> DetectionResult:

@@ -98,41 +98,73 @@ def _phase_decompose(
     )
 
 
+CART_BLOCK = 12  # carts per scan iteration (amortizes loop overhead)
+
+
 def _scale_filter(img, tabs, *, step, ny, nx, depth):
-    """One scan scale: returns (score, alive, nvis), each [B, ny, nx]."""
+    """One scan scale: returns (score, alive, nvis), each [B, ny, nx].
+
+    The scan is blocked CART_BLOCK carts per iteration: crop slices of a
+    whole block issue together (independent DMAs overlap) while the score
+    chain stays sequential within the block — ~CART_BLOCK x fewer loop
+    iterations for the same arithmetic.
+    """
     B = img.shape[0]
     ph = _phase_decompose(img, step)
     node_n = (1 << (depth - 1)) - 1
+    K = tabs["th"].shape[0]
 
-    def body(carry, x):
+    # pad cart count to a CART_BLOCK multiple with never-rejecting no-ops
+    # (zero leaf scores, mean 0, std 1, threshold -inf); survivors' nvis is
+    # recomputed by the exact tail cascade, so the pad's nvis bump is inert
+    kpad = (-K) % CART_BLOCK
+    if kpad:
+        def padtab(k, v):
+            fill = 1.0 if k == "std" else (-jnp.inf if k == "cth" else 0)
+            return jnp.pad(
+                v,
+                [(0, kpad)] + [(0, 0)] * (v.ndim - 1),
+                constant_values=fill,
+            )
+
+        tabs = {k: padtab(k, jnp.asarray(v)) for k, v in tabs.items()}
+    blocked = {
+        k: jnp.asarray(v).reshape((-1, CART_BLOCK) + jnp.asarray(v).shape[1:])
+        for k, v in tabs.items()
+    }
+
+    def body(carry, xb):
         s, alive, nvis = carry
+        for ci in range(CART_BLOCK):
+            x = {k: v[ci] for k, v in xb.items()}
 
-        def val(j):
-            p1 = jax.lax.dynamic_slice(
-                ph, (0, x["pi1"][j], x["u1"][j], x["v1"][j]), (B, 1, ny, nx)
-            )[:, 0]
-            p2 = jax.lax.dynamic_slice(
-                ph, (0, x["pi2"][j], x["u2"][j], x["v2"][j]), (B, 1, ny, nx)
-            )[:, 0]
-            return p1 - p2
+            def val(j):
+                p1 = jax.lax.dynamic_slice(
+                    ph, (0, x["pi1"][j], x["u1"][j], x["v1"][j]), (B, 1, ny, nx)
+                )[:, 0]
+                p2 = jax.lax.dynamic_slice(
+                    ph, (0, x["pi2"][j], x["u2"][j], x["v2"][j]), (B, 1, ny, nx)
+                )[:, 0]
+                return p1 - p2
 
-        vals = [val(j) for j in range(node_n)]
-        bits = []
-        for r in range(depth - 1):
-            planes = [
-                vals[j] > x["th"][j]
-                for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+            vals = [val(j) for j in range(node_n)]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    vals[j] > x["th"][j]
+                    for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(_bit_select(planes, bits))
+            leaf_planes = [
+                jnp.broadcast_to(x["ls"][j], s.shape)
+                for j in range(node_n + 1)
             ]
-            bits.append(_bit_select(planes, bits))
-        leaf_planes = [
-            jnp.broadcast_to(x["ls"][j], s.shape) for j in range(node_n + 1)
-        ]
-        b = _bit_select(leaf_planes, bits)
+            b = _bit_select(leaf_planes, bits)
 
-        s_new = (s + b - x["mean"]) / x["std"]
-        s = jnp.where(alive, s_new, s)
-        nvis = nvis + alive.astype(jnp.int32)
-        alive = alive & (s >= x["cth"])
+            s_new = (s + b - x["mean"]) / x["std"]
+            s = jnp.where(alive, s_new, s)
+            nvis = nvis + alive.astype(jnp.int32)
+            alive = alive & (s >= x["cth"])
         return (s, alive, nvis), None
 
     init = (
@@ -140,7 +172,7 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
         jnp.ones((B, ny, nx), bool),
         jnp.zeros((B, ny, nx), jnp.int32),
     )
-    (score, alive, nvis), _ = jax.lax.scan(body, init, tabs)
+    (score, alive, nvis), _ = jax.lax.scan(body, init, blocked)
     return score, alive, nvis
 
 

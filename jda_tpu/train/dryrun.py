@@ -88,7 +88,7 @@ def sharded_train_step_dryrun(mesh: Mesh) -> None:
             P(),
         ),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(
         flat_pos, flat_neg, geom_pos, geom_neg, shapes_pos, shapes_neg,

@@ -116,3 +116,24 @@ def test_parity_multiscale_features(tmp_path):
     np.testing.assert_array_equal(r.bboxes[tm], ob[om])
     np.testing.assert_allclose(r.scores[tm], osc[om], atol=2e-4)
     np.testing.assert_allclose(r.shapes[tm], osh[om], atol=2e-3)
+
+
+def test_detect_batch_matches_single(tmp_path):
+    """Batched multi-image detection must equal per-image detection,
+    including mixed image sizes (canonical padding + masks)."""
+    m = P.synthetic_model(
+        T=oracle.T, K=oracle.K, landmark_n=oracle.LANDMARK_N,
+        seed=31, reject_rate=0.10,
+    )
+    det = Detector(m)
+    imgs = [
+        _rand_image(96, 128, 41),
+        _rand_image(80, 112, 42),
+        _rand_image(96, 128, 43),
+    ]
+    batch = det.detect_batch(imgs, scale=1.25, th=-5.0)
+    for g, rb in zip(imgs, batch):
+        rs = det.detect(g, scale=1.25, th=-5.0)
+        np.testing.assert_array_equal(rb.bboxes, rs.bboxes)
+        np.testing.assert_allclose(rb.scores, rs.scores, atol=1e-5)
+        np.testing.assert_allclose(rb.shapes, rs.shapes, atol=1e-4)
