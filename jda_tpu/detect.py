@@ -584,6 +584,7 @@ class Detector:
         max_size: int = -1,
         th: Optional[float] = None,
         nms_overlap: float = 0.3,
+        mesh=None,
     ) -> List[DetectionResult]:
         """jdaDetect over a batch of images in shared device dispatches.
 
@@ -668,10 +669,30 @@ class Detector:
                     self._ms32, self._host_stage0, w_, s_
                 )
             tabs.append(self._tab_cache[key])
-        imgs_dev = jnp.asarray(imgs_u8).astype(jnp.int32)  # widen on device
+        if mesh is not None:
+            # multi-chip: images are data-parallel shards over the mesh's
+            # first axis; the dense filter is elementwise over the batch so
+            # XLA partitions it with zero collectives (detection needs no
+            # cross-chip communication until host NMS — SURVEY.md §5)
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            axis = mesh.axis_names[0]
+            nd = mesh.devices.size
+            bpad = (-B) % nd
+            if bpad:
+                imgs_u8 = np.concatenate(
+                    [imgs_u8, np.zeros((bpad, Hc, Wc), np.uint8)]
+                )
+            imgs_dev = jax.device_put(
+                jnp.asarray(imgs_u8), NamedSharding(mesh, P_(axis))
+            ).astype(jnp.int32)
+        else:
+            imgs_dev = jnp.asarray(imgs_u8).astype(jnp.int32)  # widen on device
         score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
             imgs_dev, tuple(tabs), meta=tuple(scales), depth=self.depth,
         )
+        score_d = score_d[:B]
+        alive_d = alive_d[:B]
         alive_d = np.asarray(alive_d) & masks  # [B, n]
         score_d = np.asarray(score_d)
 
@@ -687,7 +708,15 @@ class Detector:
             )
             for _ in range(B)
         ]
-        flat_dev = imgs_dev.reshape(-1)
+        if mesh is not None:
+            # replicate the image planes for the (tiny) survivor tail
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            flat_dev = jax.device_put(
+                imgs_dev, NamedSharding(mesh, P_())
+            ).reshape(-1)
+        else:
+            flat_dev = imgs_dev.reshape(-1)
         for s0 in range(0, m, self.SLAB):
             idxs = slice(s0, min(s0 + self.SLAB, m))
             bsel, wsel = bi[idxs], wi[idxs]

@@ -137,3 +137,21 @@ def test_detect_batch_matches_single(tmp_path):
         np.testing.assert_array_equal(rb.bboxes, rs.bboxes)
         np.testing.assert_allclose(rb.scores, rs.scores, atol=1e-5)
         np.testing.assert_allclose(rb.shapes, rs.shapes, atol=1e-4)
+
+
+def test_detect_batch_sharded_matches_unsharded():
+    """detect_batch over an 8-device mesh equals the single-device result."""
+    import jax
+    from jax.sharding import Mesh
+
+    m = P.synthetic_model(
+        T=2, K=32, landmark_n=5, seed=51, reject_rate=0.08
+    )
+    det = Detector(m)
+    imgs = [_rand_image(72, 96, 60 + i) for i in range(6)]  # 6 % 8 != 0: pads
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = det.detect_batch(imgs, scale=1.3, th=-5.0, mesh=mesh)
+    plain = det.detect_batch(imgs, scale=1.3, th=-5.0)
+    for a, b in zip(sharded, plain):
+        np.testing.assert_array_equal(a.bboxes, b.bboxes)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
