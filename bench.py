@@ -31,6 +31,12 @@ def make_image(h, w, seed):
 
 
 def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     from jda_tpu import params as P
     from jda_tpu.detect import Detector
     from jda_tpu import oracle

@@ -190,17 +190,24 @@ def _scale_filter_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # DMA slice shapes must be tile-aligned (8 sublanes x 128 lanes); pad
-    # the crop shape and give the phase planes enough tail room that every
-    # (u, v) start keeps the padded crop in bounds
+    # Mosaic DMA slices must be tile-aligned in BOTH shape and offset for
+    # the last two dims (8 sublanes x 128 lanes).  Shapes: pad the crop to
+    # (ny8 + 8, nx128 + 128).  Offsets: row start rounded down to a multiple
+    # of 8 (pl.multiple_of proves it), lane start is always 0 because the
+    # crop offset v <= (win-1)//step < 128.  The residual (row in [0,8),
+    # lane in [0, umax]) is applied with lax.switch over static in-register
+    # slices after the copy lands in VMEM.
     ny8 = -(-ny // 8) * 8
     nx128 = -(-nx // 128) * 128
     umax = (win - 1) // step
-    ph = _phase_decompose(
-        img2d[None], step, hp=umax + ny8, wp=umax + nx128
-    )[0]  # [s*s, Hp, Wp]
+    NYB = ny8 + 8
+    NXB = nx128 + 128
+    ph = _phase_decompose(img2d[None], step, hp=umax // 8 * 8 + NYB, wp=NXB)[
+        0
+    ]  # [s*s, Hp, Wp]
     K = tabi.shape[0]
     node_n = (1 << (depth - 1)) - 1
+    n_pts = 2 * node_n
     ny_out, nx_out = ny, nx
     ny, nx = ny8, nx128  # kernel computes on the padded grid
 
@@ -214,48 +221,39 @@ def _scale_filter_pallas(
             nvis_ref[:] = jnp.zeros((ny, nx), jnp.int32)
 
         def body(crops, sems):
-            # crop starts are arbitrary (not 8/128-aligned), so fetch with
-            # DMA — alignment-free — into double-buffered VMEM scratch;
-            # round r+1's 2^(r+1) copies are in flight while round r computes
-            def start_round(r, slot):
-                n_c = 1 << r
-                first = (1 << r) - 1
-                for c in range(n_c):
-                    o = 6 * (first + c)
-                    for p in range(2):
-                        pltpu.make_async_copy(
-                            ph_ref.at[
-                                tabi_ref[k, o + 3 * p + 0],
-                                pl.ds(tabi_ref[k, o + 3 * p + 1], ny),
-                                pl.ds(tabi_ref[k, o + 3 * p + 2], nx),
-                            ],
-                            crops.at[slot, 2 * c + p],
-                            sems.at[slot, 2 * c + p],
-                        ).start()
+            def start_point(j, p):
+                o = 6 * j + 3 * p
+                u = tabi_ref[k, o + 1]
+                u_al = pl.multiple_of((u // 8) * 8, 8)
+                pltpu.make_async_copy(
+                    ph_ref.at[tabi_ref[k, o], pl.ds(u_al, NYB), pl.ds(0, NXB)],
+                    crops.at[2 * j + p],
+                    sems.at[2 * j + p],
+                ).start()
 
-            def wait_round(r, slot):
-                n_c = 1 << r
-                first = (1 << r) - 1
-                vals = []
-                for c in range(n_c):
-                    for p in range(2):
-                        pltpu.make_async_copy(
-                            ph_ref.at[0, pl.ds(0, ny), pl.ds(0, nx)],
-                            crops.at[slot, 2 * c + p],
-                            sems.at[slot, 2 * c + p],
-                        ).wait()
-                    vals.append(
-                        crops[slot, 2 * c] - crops[slot, 2 * c + 1]
-                    )
-                # decision bits kept as int32: Mosaic cannot round-trip a
-                # stored i1/i8 mask back into a select condition (trunci to
-                # i1 unsupported); int32 + `!= 0` compares avoid that
-                return [
-                    (vals[c] > tabi_ref[k, 6 * node_n + first + c]).astype(
-                        jnp.int32
-                    )
-                    for c in range(n_c)
-                ]
+            def crop_value(j, p):
+                o = 6 * j + 3 * p
+                u = tabi_ref[k, o + 1]
+                v = tabi_ref[k, o + 2]
+                pltpu.make_async_copy(
+                    ph_ref.at[0, pl.ds(0, NYB), pl.ds(0, NXB)],
+                    crops.at[2 * j + p],
+                    sems.at[2 * j + p],
+                ).wait()
+                buf = crops[2 * j + p]
+                ru = u - (u // 8) * 8
+                rows = jax.lax.switch(
+                    ru, [lambda r=r: buf[r : r + ny, :] for r in range(8)]
+                )
+                return jax.lax.switch(
+                    v,
+                    [lambda c=c: rows[:, c : c + nx] for c in range(umax + 1)],
+                )
+
+            # launch every crop copy up front; waits interleave with compute
+            for j in range(node_n):
+                for p in range(2):
+                    start_point(j, p)
 
             def bit_sel(planes, bits_i32):
                 if not bits_i32:
@@ -267,12 +265,16 @@ def _scale_filter_pallas(
                     bit_sel(planes[:half], bits_i32[1:]),
                 )
 
-            start_round(0, 0)
-            bits = []
+            bits = []  # int32 masks: Mosaic can't reload an i1/i8 mask
             for r in range(depth - 1):
-                if r + 1 < depth - 1:
-                    start_round(r + 1, (r + 1) % 2)
-                planes = wait_round(r, r % 2)
+                first = (1 << r) - 1
+                planes = []
+                for c in range(1 << r):
+                    j = first + c
+                    val = crop_value(j, 0) - crop_value(j, 1)
+                    planes.append(
+                        (val > tabi_ref[k, 6 * node_n + j]).astype(jnp.int32)
+                    )
                 bits.append(bit_sel(planes, bits))
 
             leaf_planes = [tabf_ref[k, j] for j in range(node_n + 1)]
@@ -283,17 +285,13 @@ def _scale_filter_pallas(
             s_new = (s + b - tabf_ref[k, node_n + 1]) / tabf_ref[k, node_n + 2]
             s = jnp.where(al, s_new, s)
             score_ref[:] = s
-            alint = alive_ref[:]
-            nvis_ref[:] = nvis_ref[:] + alint
-            alive_ref[:] = jnp.where(
-                al & (s >= tabf_ref[k, node_n + 3]), 1, 0
-            )
+            nvis_ref[:] = nvis_ref[:] + alive_ref[:]
+            alive_ref[:] = jnp.where(al & (s >= tabf_ref[k, node_n + 3]), 1, 0)
 
-        max_round = 1 << (depth - 2)  # crops per point in the widest round
         pl.run_scoped(
             body,
-            crops=pltpu.VMEM((2, 2 * max_round, ny, nx), jnp.int32),
-            sems=pltpu.SemaphoreType.DMA((2, 2 * max_round)),
+            crops=pltpu.VMEM((n_pts, NYB, NXB), jnp.int32),
+            sems=pltpu.SemaphoreType.DMA((n_pts,)),
         )
 
     pl_out = pl.pallas_call(
@@ -302,8 +300,7 @@ def _scale_filter_pallas(
         in_specs=[
             pl.BlockSpec(tabi.shape, lambda k: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(tabf.shape, lambda k: (0, 0), memory_space=pltpu.SMEM),
-            # phases stay in HBM: DMA slicing is alignment-free there,
-            # while tiled VMEM memrefs reject arbitrary dynamic offsets
+            # phases stay in HBM: tiled VMEM memrefs reject dynamic offsets
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
