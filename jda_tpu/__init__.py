@@ -26,6 +26,7 @@ from jda_tpu.params import (
     load_model,
     save_model,
     synthetic_model,
+    realistic_drop_profile,
 )
 from jda_tpu.detect import Detector, DetectionResult, detect
 
@@ -37,7 +38,12 @@ __all__ = [
     "load_model",
     "save_model",
     "synthetic_model",
+    "realistic_drop_profile",
     "Detector",
     "DetectionResult",
     "detect",
+    # heavier surfaces imported lazily to keep `import jda_tpu` light:
+    # jda_tpu.cascador.CppDetector, jda_tpu.fddb.run_fddb,
+    # jda_tpu.train.boost.Trainer, jda_tpu.data.DataSet,
+    # jda_tpu.native.NativeDetector, jda_tpu.cli.main
 ]

@@ -222,7 +222,7 @@ class DataSet:
         self.imgs = np.stack(rows).astype(np.uint8)
         self.gt_shapes = np.stack(gts)
         self.shape_mask = np.asarray(masks, np.int32)
-        m = self.size
+        m = len(self.imgs)
         self.scores = np.zeros(m)
         self.last_scores = np.zeros(m)
         self.weights = np.zeros(m)

@@ -68,61 +68,6 @@ def init_state(
     }
 
 
-def _gather_scale_geom(state, sc):
-    """Per-window geometry of the pyramid level chosen by each node."""
-    sel = sc[:, None]
-    base = jnp.take_along_axis(state["base"], sel, 1)[:, 0]
-    stride = jnp.take_along_axis(state["stride"], sel, 1)[:, 0]
-    pw = jnp.take_along_axis(state["pw"], sel, 1)[:, 0]
-    ph = jnp.take_along_axis(state["ph"], sel, 1)[:, 0]
-    return base, stride, pw, ph
-
-
-def _pixel(flat_img, base, stride, x, y):
-    return jnp.take(flat_img, base + y * stride + x).astype(jnp.int32)
-
-
-def cart_forward(
-    cart: Dict[str, jnp.ndarray],
-    flat_img: jnp.ndarray,
-    state: Dict[str, jnp.ndarray],
-    *,
-    depth: int,
-    rounding: bool,
-) -> jnp.ndarray:
-    """Descend one cart for the whole batch; returns leaf index [N] in [0, 2^(d-1))."""
-    n = state["shape"].shape[0]
-    L = state["shape"].shape[1] // 2
-    shape_xy = state["shape"].reshape(n, L, 2)
-    to_int = round_half_away if rounding else trunc_toward_zero
-
-    node = jnp.zeros((n,), jnp.int32)
-    for _ in range(depth - 1):
-        sc = cart["scale"][node]  # [N]
-        th = cart["feat_th"][node]
-        base, stride, pw, ph = _gather_scale_geom(state, sc)
-        pwf = pw.astype(jnp.float32)
-        phf = ph.astype(jnp.float32)
-
-        def sample_point(lmk, off):
-            l = lmk[node]  # [N]
-            o = off[node]  # [N, 2]
-            pt = jnp.take_along_axis(shape_xy, l[:, None, None], 1)[:, 0]  # [N,2]
-            x = to_int((pt[:, 0] + o[:, 0]) * pwf)
-            y = to_int((pt[:, 1] + o[:, 1]) * phf)
-            x = jnp.clip(x, 0, pw - 1)
-            y = jnp.clip(y, 0, ph - 1)
-            return _pixel(flat_img, base, stride, x, y)
-
-        v1 = sample_point(cart["lmk1"], cart["off1"])
-        v2 = sample_point(cart["lmk2"], cart["off2"])
-        val = v1 - v2
-        node = 2 * node + 1 + (val > th).astype(jnp.int32)
-
-    leaf_base = (1 << (depth - 1)) - 1
-    return node - leaf_base
-
-
 def _onehot_select(vec: jnp.ndarray, lmk: jnp.ndarray) -> jnp.ndarray:
     """vec[:, lmk] as a one-hot matmul: [N, L] x [L, C] -> [N, C].
 

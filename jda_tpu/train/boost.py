@@ -565,10 +565,11 @@ class Trainer:
             self.pos.calc_st_parameters(self.model.mean_shape)
             self.neg.calc_st_parameters(self.model.mean_shape)
             self.train_stage(t)
+            # cursor semantics (cascador.hpp:125-139): a completed stage is
+            # persisted as (t+1, -1) so resume re-enters at the NEXT stage
+            self.model.stage_idx = t + 1
             self.model.cart_idx = -1
             self.snapshot(stage_done=True)
-        self.model.stage_idx = c.T
-        self.model.cart_idx = -1
         return self.model
 
     def snapshot(self, stage_done: bool = False) -> None:

@@ -127,9 +127,8 @@ def test_detect_batch_matches_single(tmp_path):
     )
     det = Detector(m)
     imgs = [
-        _rand_image(96, 128, 41),
-        _rand_image(80, 112, 42),
-        _rand_image(96, 128, 43),
+        _rand_image(80, 96, 41),
+        _rand_image(64, 88, 42),
     ]
     batch = det.detect_batch(imgs, scale=1.25, th=-5.0)
     for g, rb in zip(imgs, batch):
@@ -148,7 +147,7 @@ def test_detect_batch_sharded_matches_unsharded():
         T=2, K=32, landmark_n=5, seed=51, reject_rate=0.08
     )
     det = Detector(m)
-    imgs = [_rand_image(72, 96, 60 + i) for i in range(6)]  # 6 % 8 != 0: pads
+    imgs = [_rand_image(56, 72, 60 + i) for i in range(3)]  # 3 % 8 != 0: pads
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
     sharded = det.detect_batch(imgs, scale=1.3, th=-5.0, mesh=mesh)
     plain = det.detect_batch(imgs, scale=1.3, th=-5.0)

@@ -29,7 +29,7 @@ def setup(tmp_path_factory):
     )
     path = str(d / "m.model")
     P.save_model(m, path, dtype="double")
-    return m, path, _img(128, 160, 6)
+    return m, path, _img(96, 128, 6)
 
 
 def test_native_builds():
