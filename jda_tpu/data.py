@@ -263,6 +263,12 @@ class DataSet:
         pos.weights[~pos.live] = 0.0
         neg.weights[~neg.live] = 0.0
 
+    def calc_threshold_by_rate(self, rate: float) -> float:
+        """Score at the (1-rate) quantile from the top (data.cpp:330-334)."""
+        s = np.sort(self.scores[self.live])[::-1]
+        off = len(s) - 1 - int(rate * len(s))
+        return float(s[max(off, 0)])
+
     def calc_threshold_by_number(self, remove: int) -> float:
         """Score of the `remove`-th lowest sample (data.cpp:335-345)."""
         s = self.scores[self.live]
@@ -458,12 +464,50 @@ class NegGenerator:
         return img
 
     def load(self, bg_txts: Sequence[str], rng: np.random.Generator) -> None:
+        """NegGenerator::Load (data.cpp:1067-1196): bg_txts[0] is the hard
+        pool (text list or binary cache, consumed first when
+        config.use_hard), the rest are background image lists."""
         self.list = []
-        for p in bg_txts:
+        for p in bg_txts[1:]:
             with open(p) as f:
                 self.list.extend(f.read().split())
         rng.shuffle(self.list)
+        self.hards = []
+        if self.c.use_hard and bg_txts:
+            self._load_hard(bg_txts[0], rng)
         self._init_states(rng)
+
+    def _load_hard(self, path: str, rng: np.random.Generator) -> None:
+        import cv2
+
+        c = self.c
+        if path.endswith("txt"):
+            with open(path) as f:
+                names = f.read().split()
+            for nm in names:
+                img = cv2.imread(nm, cv2.IMREAD_GRAYSCALE)
+                if img is None:
+                    continue
+                self.hards.append(
+                    cv2.resize(img, (c.img_o_size, c.img_o_size))
+                )
+            # binary cache, reference hard.data format (data.cpp:1149-1167)
+            with open(os.path.join(os.path.dirname(path), "hard.data"), "wb") as f:
+                np.asarray([len(self.hards)], "<i4").tofile(f)
+                for img in self.hards:
+                    np.asarray([img.shape[1], img.shape[0]], "<i4").tofile(f)
+                    img.astype(np.uint8).tofile(f)
+        else:
+            with open(path, "rb") as f:
+                (n,) = np.fromfile(f, "<i4", 1)
+                for _ in range(int(n)):
+                    cols, rws = np.fromfile(f, "<i4", 2)
+                    if cols == 0 or rws == 0:
+                        continue
+                    self.hards.append(
+                        np.fromfile(f, np.uint8, cols * rws).reshape(rws, cols)
+                    )
+        rng.shuffle(self.hards)
 
     def load_images(self, images: List[np.ndarray], rng: np.random.Generator) -> None:
         """In-memory variant (tests / embedded use)."""

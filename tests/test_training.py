@@ -287,3 +287,35 @@ def test_corpus_snapshot_roundtrip(trained, tmp_path):
     np.testing.assert_allclose(pos2.scores, tr.pos.scores)
     np.testing.assert_allclose(neg2.weights, tr.neg.weights)
     np.testing.assert_array_equal(pos2.shape_mask, tr.pos.shape_mask)
+
+
+def test_hard_negative_loading(tmp_path):
+    """use_hard: text list loads + writes the binary cache; the cache loads
+    back; hard patches are consumed before background scanning."""
+    import cv2
+    from jda_tpu.data import NegGenerator
+
+    c = _tiny_config(use_hard=True)
+    rng = np.random.default_rng(8)
+    names = []
+    for i in range(5):
+        p = str(tmp_path / f"hard_{i}.png")
+        cv2.imwrite(p, rng.integers(0, 256, (40, 40)).astype(np.uint8))
+        names.append(p)
+    (tmp_path / "hard.txt").write_text("\n".join(names) + "\n")
+    bg = str(tmp_path / "bg.png")
+    cv2.imwrite(bg, rng.integers(0, 256, (120, 120)).astype(np.uint8))
+    (tmp_path / "bg.txt").write_text(bg + "\n")
+
+    g = NegGenerator(c, n_states=2)
+    g.load([str(tmp_path / "hard.txt"), str(tmp_path / "bg.txt")],
+           np.random.default_rng(1))
+    assert len(g.hards) == 5
+    assert all(h.shape == (c.img_o_size, c.img_o_size) for h in g.hards)
+    first = g.next_patch(0)  # hard patches come first
+    assert first.shape == (c.img_o_size, c.img_o_size)
+    # binary cache round-trips
+    g2 = NegGenerator(c, n_states=2)
+    g2.load([str(tmp_path / "hard.data"), str(tmp_path / "bg.txt")],
+            np.random.default_rng(1))
+    assert len(g2.hards) == 5
