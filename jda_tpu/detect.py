@@ -691,10 +691,8 @@ class Detector:
         score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
             imgs_dev, tuple(tabs), meta=tuple(scales), depth=self.depth,
         )
-        score_d = score_d[:B]
-        alive_d = alive_d[:B]
-        alive_d = np.asarray(alive_d) & masks  # [B, n]
-        score_d = np.asarray(score_d)
+        alive_d = np.asarray(alive_d)[:B] & masks  # [B, n]
+        score_d = np.asarray(score_d)[:B]
 
         # shared tail cascade over all images' survivors
         geom_c = window_geometry(x, y, win, offsets, strides)
