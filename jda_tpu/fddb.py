@@ -85,6 +85,12 @@ def run_fddb(
         lines = []
         n_img = 0
         t_fold = 0.0
+        gt = {}
+        if annotate:
+            try:
+                gt = read_ellipses(c.fddb_dir, i)
+            except OSError:
+                gt = {}
         for path in read_fold(c.fddb_dir, i):
             full = os.path.join(prefix, path + ".jpg")
             img = cv2.imread(full)
@@ -104,6 +110,19 @@ def run_fddb(
                 # printf("%d %d %d %d %lf\n", ...) — test.cpp:163
                 lines.append(f"{r[0]} {r[1]} {r[2]} {r[3]} {s:.6f}")
             if annotate:
+                import math as _math
+
+                for e in gt.get(path, []):
+                    cv2.ellipse(
+                        img,
+                        (int(e[3]), int(e[4])),
+                        (int(e[0]), int(e[1])),
+                        e[2] / _math.pi * 180.0,
+                        0.0,
+                        360.0,
+                        (255, 0, 0),
+                        2,
+                    )
                 for r in rects:
                     cv2.rectangle(
                         img,

@@ -36,7 +36,7 @@ from jda_tpu.ops import cascade as C
 from jda_tpu.train import features as FT
 from jda_tpu.train import split as SP
 from jda_tpu.train import regression as RG
-from jda_tpu.utils import log, calc_mean_error
+from jda_tpu.utils import log, calc_mean_error, draw_density_graph
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -94,6 +94,7 @@ class Trainer:
         self.neg_gen = NegGenerator(c)
         self.single_scale = not c.multi_scale
         self.mining_max_batches = 2000
+        self.verbose = False  # per-cart score-density graphs (btcart.cpp:19-102)
         self.snapshot_dir: Optional[str] = None
         self.stats: Dict = {"stages": []}
 
@@ -422,6 +423,13 @@ class Trainer:
             if neg.size < neg_th:
                 self.more_neg_samples(t, k)
                 neg_th = int(neg.size * c.mining_th[t])
+            if self.verbose and neg.size:
+                print(
+                    draw_density_graph(
+                        pos.scores[pos.live], neg.scores[neg.live]
+                    ),
+                    flush=True,
+                )
             DataSet.update_weights(pos, neg)
 
             t0 = time.time()
