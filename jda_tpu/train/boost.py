@@ -467,7 +467,11 @@ class Trainer:
                     best_drop_rate = tmp_drop
                     best_cart_snapshot = self._cart_params(t, k)
                 if restarts >= c.restart_times:
-                    self._restore_cart(t, k, best_cart_snapshot)
+                    # None when every restart had drop rate 0: keep the
+                    # last trained cart (the reference would install its
+                    # stale pre-loop cart copy here — btcart.cpp:134-137)
+                    if best_cart_snapshot is not None:
+                        self._restore_cart(t, k, best_cart_snapshot)
                     best_drop_rate = 0.0
                     pos.reset_scores()
                     neg.reset_scores()

@@ -319,3 +319,72 @@ def test_hard_negative_loading(tmp_path):
     g2.load([str(tmp_path / "hard.data"), str(tmp_path / "bg.txt")],
             np.random.default_rng(1))
     assert len(g2.hards) == 5
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(with_similarity_transform=True),
+        dict(multi_scale=True),
+    ],
+    ids=["similarity-transform", "multi-scale"],
+)
+def test_training_variant_paths(kw):
+    """ST-enabled and multi-scale training paths run and learn."""
+    c = _tiny_config(T=1, K=8, feats=(40,), radius=(0.3,), probs=(0.8,),
+                     recall=(0.99,), drops=(1,), nps=(1.0,),
+                     score_normalization_steps=(2,), mining_th=(0.5,),
+                     restart_th=(0.001,), **kw)
+    tr = Trainer(c)
+    tr.mining_max_batches = 20
+    rows, gts, bgs = build_synthetic(c, n_pos=120)
+    tr.set_synthetic_data(rows, gts, bgs)
+    e0 = calc_mean_error(
+        tr.pos.gt_shapes, tr.pos.current_shapes, c.left_pupils, c.right_pupils
+    )
+    tr.train()
+    pl = tr.pos.live_idx()
+    e1 = calc_mean_error(
+        tr.pos.gt_shapes[pl], tr.pos.current_shapes[pl],
+        c.left_pupils, c.right_pupils,
+    )
+    assert tr.pos.size > 60
+    assert e1 < e0, (e0, e1)
+    if kw.get("multi_scale"):
+        assert (tr.model.scale > 0).any()  # pool sampled h/q features
+    if kw.get("with_similarity_transform"):
+        # stage-1 transforms are identity (initial shapes are pure
+        # translations of the mean); verify the ST math directly instead
+        from jda_tpu.data import st_calc, st_apply
+
+        th = 0.3
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        base = tr.pos.current_shapes[pl[:4]]
+        xy = base.reshape(4, -1, 2) @ rot.T * 1.2
+        rotated = xy.reshape(4, -1)
+        m_ = st_calc(rotated, base, True)
+        # st maps base-frame offsets into the rotated frame: applying it
+        # to (base - centroid) should reproduce (rotated - centroid)
+        def center(s_):
+            c_ = s_.reshape(len(s_), -1, 2).mean(1)
+            out = s_.reshape(len(s_), -1, 2) - c_[:, None]
+            return out.reshape(len(s_), -1)
+
+        np.testing.assert_allclose(
+            st_apply(m_, center(base)), center(rotated), atol=1e-8
+        )
+
+
+def test_restart_path():
+    """Cart restart (btcart.cpp:188-232): with an impossible drop-rate
+    threshold, carts restart and the best one is kept."""
+    c = _tiny_config(T=1, K=14, feats=(30,), radius=(0.3,), probs=(0.9,),
+                     recall=(0.99,), drops=(1,), nps=(1.0,),
+                     score_normalization_steps=(2,), mining_th=(0.5,),
+                     restart_on=True, restart_th=(0.9,), restart_times=2)
+    tr = Trainer(c)
+    tr.mining_max_batches = 15
+    rows, gts, bgs = build_synthetic(c, n_pos=100)
+    tr.set_synthetic_data(rows, gts, bgs)
+    tr.train()  # completes despite constant restarts (best-cart fallback)
+    assert tr.model.stage_idx == 1
