@@ -694,18 +694,14 @@ class Detector:
         alive_d = np.asarray(alive_d)[:B] & masks  # [B, n]
         score_d = np.asarray(score_d)[:B]
 
-        # shared tail cascade over all images' survivors
+        # shared tail cascade over all images' survivors; only survivor
+        # rows are materialized (rejected windows never reach the output)
         geom_c = window_geometry(x, y, win, offsets, strides)
         bi, wi = np.nonzero(alive_d)  # image idx, window idx
         m = len(bi)
-        out_scores = [score_d[i].copy() for i in range(B)]
-        out_alive = [np.zeros(n, bool) for i in range(B)]
-        out_shapes = [
-            np.tile(
-                np.asarray(self.dev["mean_shape"], np.float32), (n, 1)
-            )
-            for _ in range(B)
-        ]
+        surv_score = np.zeros(m, np.float32)
+        surv_alive = np.zeros(m, bool)
+        surv_shape = np.zeros((m, L2), np.float32)
         if mesh is not None:
             # replicate the image planes for the (tiny) survivor tail
             from jax.sharding import NamedSharding, PartitionSpec as P_
@@ -752,23 +748,21 @@ class Detector:
                 exact=True,
                 single_scale=True,
             )
-            sc = np.asarray(out["score"])[:mm]
-            al = np.asarray(out["alive"])[:mm]
-            sh = np.asarray(out["shape"])[:mm]
-            for j in range(mm):
-                out_scores[bsel[j]][wsel[j]] = sc[j]
-                out_alive[bsel[j]][wsel[j]] = al[j]
-                out_shapes[bsel[j]][wsel[j]] = sh[j]
+            surv_score[idxs] = np.asarray(out["score"])[:mm]
+            surv_alive[idxs] = np.asarray(out["alive"])[:mm]
+            surv_shape[idxs] = np.asarray(out["shape"])[:mm]
 
         results = []
         for i in range(B):
-            keep = out_alive[i] & (out_scores[i] >= th)
-            cand = np.flatnonzero(keep)
+            sel = np.flatnonzero(
+                (bi == i) & surv_alive & (surv_score >= th)
+            )
+            cand = wi[sel]
             bboxes = np.stack([x[cand], y[cand], win[cand]], axis=1).astype(
                 np.int32
             )
-            cscores = out_scores[i][cand].astype(np.float32)
-            cshapes = out_shapes[i][cand]
+            cscores = surv_score[sel]
+            cshapes = surv_shape[sel]
             picked = NMS.nms_c(bboxes, cscores, nms_overlap)
             bboxes = bboxes[picked]
             cscores = cscores[picked]
