@@ -25,7 +25,6 @@ import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from jda_tpu.config import Config
@@ -115,7 +114,6 @@ class CppDetector:
         windows have pw = ph = win and full-image stride."""
         tabs = []
         det = self.det
-        use_pallas = False  # see detect.py note on the pallas variant
         for win, step, _, _ in scales:
             key = (win, step, "round")
             if key not in self._tab_cache:

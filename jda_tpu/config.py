@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 def _as_list(v, n, cast):

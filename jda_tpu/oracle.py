@@ -17,8 +17,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Optional
-
 import numpy as np
 
 REFERENCE_C = "/root/reference/c/jda.c"

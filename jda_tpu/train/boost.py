@@ -20,7 +20,6 @@ per-thread cv::RNGs are nondeterministic by design; SURVEY.md §2 P7).
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Callable, Dict, List, Optional, Tuple
