@@ -150,7 +150,12 @@ class CppDetector:
             else None
         )
         res = self.det._run_batch(
-            flat_dev, geom, n, rounding=True, dense_result=dense
+            flat_dev,
+            geom,
+            n,
+            rounding=True,
+            dense_result=dense,
+            with_stp=self.c.with_similarity_transform,
         )
         alive = res["alive"]
         stat.patch_n += n
@@ -197,6 +202,7 @@ class CppDetector:
             T=self.params.T,
             exact=True,
             single_scale=self.det.single_scale,
+            with_stp=self.c.with_similarity_transform,
         )
         return (
             np.asarray(out["alive"])[:m],

@@ -123,16 +123,22 @@ def cmd_dump(c: Config, args) -> int:
     pos, neg = DataSet(c, True), DataSet(c, False)
     DataSet.resume(args.data_cache, pos, neg)
     out = args.out or "./dump"
-    os.makedirs(out, exist_ok=True)
     so = c.img_o_size
-    for i in range(len(pos.imgs)):
-        img = pos.imgs[i, : so * so].reshape(so, so).copy()
-        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
-        sh = pos.current_shapes[i] * so
-        for k in range(c.landmark_n):
-            cv2.circle(img, (int(sh[2 * k]), int(sh[2 * k + 1])), 1, (0, 255, 0), -1)
-        cv2.imwrite(os.path.join(out, f"{i:06d}.jpg"), img)
-    log(f"dumped {len(pos.imgs)} patches to {out}")
+    # the reference dumps BOTH datasets: pos.Dump("../data/dump/pos") and
+    # neg.Dump("../data/dump/neg") (train.cpp:88-89)
+    for name, ds in (("pos", pos), ("neg", neg)):
+        sub = os.path.join(out, name)
+        os.makedirs(sub, exist_ok=True)
+        for i in range(len(ds.imgs)):
+            img = ds.imgs[i, : so * so].reshape(so, so).copy()
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+            sh = ds.current_shapes[i] * so
+            for k in range(c.landmark_n):
+                cv2.circle(
+                    img, (int(sh[2 * k]), int(sh[2 * k + 1])), 1, (0, 255, 0), -1
+                )
+            cv2.imwrite(os.path.join(sub, f"{i:06d}.jpg"), img)
+        log(f"dumped {len(ds.imgs)} {name} patches to {sub}")
     return 0
 
 

@@ -141,6 +141,7 @@ class DataSet:
         self.live = np.zeros(0, bool)
         self._flat_dev = None
         self._flat_cap = -1
+        self.device_sharding = None  # set by a mesh-bound Trainer
 
     @property
     def size(self) -> int:
@@ -167,7 +168,14 @@ class DataSet:
         if self._flat_dev is None or self._flat_cap != cap:
             buf = np.zeros((cap, self.D), np.int32)
             buf[: len(self.imgs)] = self.imgs
-            self._flat_dev = jnp.asarray(buf.reshape(-1))
+            arr = jnp.asarray(buf.reshape(-1))
+            if getattr(self, "device_sharding", None) is not None:
+                # multi-chip training: the corpus buffer is replicated so
+                # every chip's feature gathers stay local (train/sharded.py)
+                import jax
+
+                arr = jax.device_put(arr, self.device_sharding)
+            self._flat_dev = arr
             self._flat_cap = cap
         return self._flat_dev
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jda_tpu.params import CascadeParams
 from jda_tpu.ops import cascade as C
 from jda_tpu.ops import dense0 as D0
+from jda_tpu.ops import fused as F
 from jda_tpu.ops import resize as R
 from jda_tpu.ops import nms as NMS
 
@@ -198,6 +199,7 @@ class Detector:
             }
             self._ms32 = params.mean_shape.astype(np.float32)
         self._tab_cache: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+        self._fused_cache: Dict[tuple, dict] = {}  # plan key -> fused program
 
     def _dense_filter(
         self, gray: np.ndarray, scales: List[Tuple[int, int, int, int]]
@@ -243,7 +245,7 @@ class Detector:
         )
 
     @staticmethod
-    def _stage_impl(sp, flat_img, state, *, depth, rounding, single_scale):
+    def _stage_impl(sp, flat_img, state, *, depth, rounding, single_scale, stp=None):
         return C.run_cart_chunk(
             sp,
             flat_img,
@@ -251,11 +253,134 @@ class Detector:
             depth=depth,
             rounding=rounding,
             single_scale=single_scale,
+            stp=stp,
         )
 
     @staticmethod
-    def _regress_impl(W_t, leaves, state, *, leaf_n):
-        return C.apply_regression(W_t, leaves, state, leaf_n=leaf_n)
+    def _regress_impl(W_t, leaves, state, *, leaf_n, stp=None):
+        return C.apply_regression(W_t, leaves, state, leaf_n=leaf_n, stp=stp)
+
+    # -- fused single-dispatch pipeline -------------------------------------
+
+    def _fused_enabled(self) -> bool:
+        import os
+
+        return (
+            self.single_scale
+            and self.T > 0
+            and os.environ.get("JDA_TPU_FUSED", "1") != "0"
+        )
+
+    def _dense_pallas_enabled(self) -> bool:
+        import os
+
+        return (
+            os.environ.get("JDA_TPU_DENSE_PALLAS", "1") != "0"
+            and jax.default_backend() == "tpu"
+        )
+
+    def _fused_plan(self, B, Hc, Wc, scale, min_size, max_size_c) -> dict:
+        """Static plan (window tables + compiled program) per geometry."""
+        use_pallas = self._dense_pallas_enabled()
+        key = (B, Hc, Wc, float(scale), min_size, max_size_c, use_pallas)
+        plan = self._fused_cache.get(key)
+        if plan is None:
+            x, y, win, scales = enumerate_windows(
+                Wc, Hc, scale, min_size, max_size_c
+            )
+            tabs = []
+            for w_, s_, _, _ in scales:
+                tkey = (w_, s_, False)
+                if tkey not in self._tab_cache:
+                    self._tab_cache[tkey] = D0.node_tables(
+                        self._ms32, self._host_stage0, w_, s_
+                    )
+                tabs.append(self._tab_cache[tkey])
+            tabs_dev = tuple(
+                {k: jnp.asarray(v) for k, v in t.items()} for t in tabs
+            )
+            if use_pallas:
+                tabs_dev = D0.mixed_tables(tabs, scales, self.params.node_n)
+            # budgets self-tune upward on overflow (the program returns
+            # true per-compaction counts)
+            budgets = F.default_budgets(len(x), B, self.T, self.K)
+            plan = {
+                "x": x,
+                "y": y,
+                "win": win,
+                "scales": tuple(scales),
+                "xywin": jnp.asarray(
+                    np.stack([x, y, win], axis=1).astype(np.int32)
+                )
+                if len(x)
+                else None,
+                "tabs": tabs_dev,
+                "budgets": budgets,
+                "use_pallas": use_pallas,
+                "fn": None,
+                "n": len(x),
+                "Hc": Hc,
+                "Wc": Wc,
+            }
+            self._fused_cache[key] = plan
+        if plan["fn"] is None and plan["n"] > 0:
+            plan["fn"] = F.make_fused_fn(
+                meta=plan["scales"],
+                depth=self.depth,
+                leaf_n=self.leaf_n,
+                T=self.T,
+                H=plan["Hc"],
+                W=plan["Wc"],
+                budgets=plan["budgets"],
+                use_pallas=plan["use_pallas"],
+            )
+        return plan
+
+    def _fused_run(self, plan, imgs_u8: np.ndarray, dims: np.ndarray, mesh=None):
+        """Run the fused program; double any overflowed budget and retry."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            axis = mesh.axis_names[0]
+            nd = mesh.devices.size
+            bpad = (-imgs_u8.shape[0]) % nd
+            if bpad:
+                imgs_u8 = np.concatenate(
+                    [imgs_u8, np.zeros((bpad,) + imgs_u8.shape[1:], np.uint8)]
+                )
+                dims = np.concatenate([dims, np.zeros((bpad, 2), np.int32)])
+            imgs_dev = jax.device_put(
+                jnp.asarray(imgs_u8), NamedSharding(mesh, P_(axis))
+            )
+        else:
+            imgs_dev = jnp.asarray(imgs_u8)
+        dims_dev = jnp.asarray(dims.astype(np.int32))
+        while True:
+            out = plan["fn"](
+                self.dev, imgs_dev, dims_dev, plan["tabs"], plan["xywin"]
+            )
+            counts = np.asarray(out["counts"])
+            budgets = plan["budgets"]
+            if all(int(counts[i]) <= budgets[i] for i in range(len(counts))):
+                return out
+            # jump straight to the measured population (+25% headroom):
+            # one recompile instead of a doubling ladder
+            plan["budgets"] = tuple(
+                max(b, (int(counts[i]) * 5 // 4 + 255) // 256 * 256)
+                if int(counts[i]) > b
+                else b
+                for i, b in enumerate(budgets)
+            )
+            plan["fn"] = F.make_fused_fn(
+                meta=plan["scales"],
+                depth=self.depth,
+                leaf_n=self.leaf_n,
+                T=self.T,
+                H=plan["Hc"],
+                W=plan["Wc"],
+                budgets=plan["budgets"],
+                use_pallas=plan["use_pallas"],
+            )
 
     # -- core batched evaluation ------------------------------------------
 
@@ -266,6 +391,7 @@ class Detector:
         valid_n: int,
         rounding: bool = False,
         dense_result: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+        with_stp: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Run all stages on one geometry batch, compacting between stages.
 
@@ -391,6 +517,14 @@ class Detector:
                     "ph": ph,
                 }
 
+            # per-stage similarity transform from the stage-entry shapes
+            # (Validate recomputes it each stage, cascador.cpp:180; shared
+            # by every cart chunk of the stage and by the delta)
+            stp = (
+                C.st_calc_dev(state["shape"], self.dev["mean_shape"])
+                if with_stp
+                else None
+            )
             leaves_parts = []
             for chunk in self.stage_chunks[t]:
                 state, lv = self._stage_jit(
@@ -400,6 +534,7 @@ class Detector:
                     depth=self.depth,
                     rounding=rounding,
                     single_scale=self.single_scale,
+                    stp=stp,
                 )
                 leaves_parts.append(lv)
             leaves = (
@@ -408,7 +543,7 @@ class Detector:
                 else jnp.concatenate(leaves_parts, axis=1)
             )
             state = self._regress_jit(
-                self.dev["W"][t], leaves, state, leaf_n=self.leaf_n
+                self.dev["W"][t], leaves, state, leaf_n=self.leaf_n, stp=stp
             )
 
             alive = np.asarray(state["alive"])[:m]
@@ -454,6 +589,15 @@ class Detector:
         assert gray.dtype == np.uint8 and gray.ndim == 2
         if th is None:
             th = self.final_th_default
+        if self._fused_enabled():
+            return self.detect_batch(
+                [gray],
+                scale=scale,
+                min_size=min_size,
+                max_size=max_size,
+                th=th,
+                nms_overlap=nms_overlap,
+            )[0]
         img_h, img_w = gray.shape
         if self.single_scale:
             # single-scale models never read the half/quarter levels
@@ -586,19 +730,20 @@ class Detector:
         nms_overlap: float = 0.3,
         mesh=None,
     ) -> List[DetectionResult]:
-        """jdaDetect over a batch of images in shared device dispatches.
+        """jdaDetect over a batch of images in ONE fused device dispatch.
 
-        Images are placed top-left in canonical (max-dims) pyramid planes;
-        windows are enumerated once on the canonical grid with per-image
-        validity masks, the dense stage-0 filter runs with a batch axis,
-        and every image's survivors share one tail-cascade dispatch.
-        Per-image results are identical to detect() for single-scale
-        models (windows never read outside their own image at the origin
-        level); multi-scale models fall back to per-image detection.
+        Images are placed top-left in canonical (max-dims) planes; windows
+        are enumerated once on the canonical grid with per-image validity
+        masks, and the whole cascade (dense stage-0 filter, survivor
+        compaction, tail stages with per-stage compaction) runs as a single
+        jit program (ops/fused.py).  Per-image results are identical to the
+        unfused path for single-scale models (windows never read outside
+        their own image at the origin level); multi-scale models fall back
+        to per-image detection.
         """
         if th is None:
             th = self.final_th_default
-        if not (self.single_scale and self.T > 0) or len(grays) == 1:
+        if not self._fused_enabled():
             return [
                 self.detect(
                     g,
@@ -619,9 +764,8 @@ class Detector:
         ms_c = max_size if max_size > 0 else min(Wc, Hc)
         ms_c = min(ms_c, Wc, Hc)
 
-        x, y, win, scales = enumerate_windows(Wc, Hc, scale, min_size, ms_c)
-        n = len(x)
-        if n == 0:
+        plan = self._fused_plan(B, Hc, Wc, scale, min_size, ms_c)
+        if plan["n"] == 0:
             return [
                 DetectionResult(
                     0,
@@ -633,150 +777,52 @@ class Detector:
                 for _ in grays
             ]
 
-        # canonical pyramid planes; each image resized at its OWN dims then
-        # placed top-left (single-scale models only read the origin level
-        # inside the window, so placement is exact)
         # single-scale models read only the origin level, so the "pyramid"
         # is one uint8 plane per image, uploaded once and widened on device
-        # (h/q level geometry points at index 0, never dereferenced)
-        Dc = Hc * Wc
-        offsets = np.asarray([0, 0, 0], np.int64)
-        strides = np.asarray([Wc, 1, 1], np.int32)
         imgs_u8 = np.zeros((B, Hc, Wc), np.uint8)
         for i, g in enumerate(grays):
-            h_i, w_i = g.shape
-            imgs_u8[i, :h_i, :w_i] = g
+            imgs_u8[i, : g.shape[0], : g.shape[1]] = g
+        dims = np.array([[g.shape[1], g.shape[0]] for g in grays], np.int32)
 
-        # per-image window validity on the canonical grid
-        masks = np.stack(
-            [
-                (x <= g.shape[1] - win) & (y <= g.shape[0] - win)
-                for g in grays
-            ]
-        )  # [B, n]
-        if max_size > 0:
-            pass  # shared ladder already bounded by ms_c
-        else:
-            for i, g in enumerate(grays):
-                masks[i] &= win <= min(g.shape[1], g.shape[0])
+        out = self._fused_run(plan, imgs_u8, dims, mesh=mesh)
+        sel = np.asarray(out["sel"])
+        score = np.asarray(out["score"])
+        shape = np.asarray(out["shape"])
+        alive = np.asarray(out["alive"])
+        self.last_stats = {
+            "windows": int(plan["n"]) * B,
+            "counts": np.asarray(out["counts"]).tolist(),
+            "total_nvis": int(np.asarray(out["total_nvis"])),
+        }
 
-        # batched dense stage-0
-        tabs = []
-        for w_, s_, _, _ in scales:
-            key = (w_, s_, False)
-            if key not in self._tab_cache:
-                self._tab_cache[key] = D0.node_tables(
-                    self._ms32, self._host_stage0, w_, s_
-                )
-            tabs.append(self._tab_cache[key])
-        if mesh is not None:
-            # multi-chip: images are data-parallel shards over the mesh's
-            # first axis; the dense filter is elementwise over the batch so
-            # XLA partitions it with zero collectives (detection needs no
-            # cross-chip communication until host NMS — SURVEY.md §5)
-            from jax.sharding import NamedSharding, PartitionSpec as P_
-
-            axis = mesh.axis_names[0]
-            nd = mesh.devices.size
-            bpad = (-B) % nd
-            if bpad:
-                imgs_u8 = np.concatenate(
-                    [imgs_u8, np.zeros((bpad, Hc, Wc), np.uint8)]
-                )
-            imgs_dev = jax.device_put(
-                jnp.asarray(imgs_u8), NamedSharding(mesh, P_(axis))
-            ).astype(jnp.int32)
-        else:
-            imgs_dev = jnp.asarray(imgs_u8).astype(jnp.int32)  # widen on device
-        score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
-            imgs_dev, tuple(tabs), meta=tuple(scales), depth=self.depth,
-        )
-        alive_d = np.asarray(alive_d)[:B] & masks  # [B, n]
-        score_d = np.asarray(score_d)[:B]
-
-        # shared tail cascade over all images' survivors; only survivor
-        # rows are materialized (rejected windows never reach the output)
-        geom_c = window_geometry(x, y, win, offsets, strides)
-        bi, wi = np.nonzero(alive_d)  # image idx, window idx
-        m = len(bi)
-        surv_score = np.zeros(m, np.float32)
-        surv_alive = np.zeros(m, bool)
-        surv_shape = np.zeros((m, L2), np.float32)
-        if mesh is not None:
-            # replicate the image planes for the (tiny) survivor tail
-            from jax.sharding import NamedSharding, PartitionSpec as P_
-
-            flat_dev = jax.device_put(
-                imgs_dev, NamedSharding(mesh, P_())
-            ).reshape(-1)
-        else:
-            flat_dev = imgs_dev.reshape(-1)
-        for s0 in range(0, m, self.SLAB):
-            idxs = slice(s0, min(s0 + self.SLAB, m))
-            bsel, wsel = bi[idxs], wi[idxs]
-            mm = len(bsel)
-            b = min(_bucket(mm), self.SLAB)
-            pad = b - mm
-
-            def padg(a, fill=0):
-                if pad:
-                    a = np.concatenate(
-                        [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
-                    )
-                return jnp.asarray(a)
-
-            base = geom_c["base"][wsel] + (bsel[:, None] * Dc).astype(np.int32)
-            state = C.init_state(
-                b,
-                self.dev["mean_shape"],
-                padg(base),
-                padg(geom_c["stride"][wsel], 1),
-                padg(geom_c["pw"][wsel], 1),
-                padg(geom_c["ph"][wsel], 1),
-                jnp.asarray(
-                    np.concatenate([np.ones(mm, bool), np.zeros(pad, bool)])
-                ),
-            )
-            out = C.cascade_full(
-                self.dev,
-                flat_dev,
-                state,
-                depth=self.depth,
-                rounding=False,
-                leaf_n=self.leaf_n,
-                T=self.T,
-                exact=True,
-                single_scale=True,
-            )
-            surv_score[idxs] = np.asarray(out["score"])[:mm]
-            surv_alive[idxs] = np.asarray(out["alive"])[:mm]
-            surv_shape[idxs] = np.asarray(out["shape"])[:mm]
-
+        n = plan["n"]
+        x, y, win = plan["x"], plan["y"], plan["win"]
+        keep = (sel >= 0) & alive & (score >= th)
+        bi = np.where(sel >= 0, sel // n, -1)
+        wi = np.where(sel >= 0, sel % n, 0)
         results = []
         for i in range(B):
-            sel = np.flatnonzero(
-                (bi == i) & surv_alive & (surv_score >= th)
-            )
-            cand = wi[sel]
+            m = keep & (bi == i)
+            cand = wi[m]
             bboxes = np.stack([x[cand], y[cand], win[cand]], axis=1).astype(
                 np.int32
             )
-            cscores = surv_score[sel]
-            cshapes = surv_shape[sel]
+            cscores = score[m]
+            cshapes = shape[m]
             picked = NMS.nms_c(bboxes, cscores, nms_overlap)
             bboxes = bboxes[picked]
             cscores = cscores[picked]
             cshapes = cshapes[picked]
             sz = bboxes[:, 2:3].astype(np.float32)
-            out = cshapes.copy()
-            out[:, 0::2] = out[:, 0::2] * sz + bboxes[:, 0:1]
-            out[:, 1::2] = out[:, 1::2] * sz + bboxes[:, 1:2]
+            outs = cshapes.copy()
+            outs[:, 0::2] = outs[:, 0::2] * sz + bboxes[:, 0:1]
+            outs[:, 1::2] = outs[:, 1::2] * sz + bboxes[:, 1:2]
             results.append(
                 DetectionResult(
                     len(picked),
                     self.params.landmark_n,
                     bboxes,
-                    out,
+                    outs,
                     cscores,
                 )
             )

@@ -123,7 +123,7 @@ def run_fddb(
                         (255, 0, 0),
                         2,
                     )
-                for r in rects:
+                for r, s in zip(rects, scores):
                     cv2.rectangle(
                         img,
                         (int(r[0]), int(r[1])),
@@ -131,15 +131,26 @@ def run_fddb(
                         (0, 0, 255),
                         3,
                     )
-                for sh in shapes:
-                    for k in range(len(sh) // 2):
-                        cv2.circle(
+                    if c.fddb_draw_score:  # test.cpp:191-194
+                        cv2.putText(
                             img,
-                            (int(sh[2 * k]), int(sh[2 * k + 1])),
-                            3,
+                            f"{s:.4f}",
+                            (int(r[0]), int(r[1])),
+                            cv2.FONT_HERSHEY_PLAIN,
+                            1,
                             (0, 255, 0),
-                            -1,
+                            2,
                         )
+                if c.fddb_draw_shape:  # test.cpp:196-200
+                    for sh in shapes:
+                        for k in range(len(sh) // 2):
+                            cv2.circle(
+                                img,
+                                (int(sh[2 * k]), int(sh[2 * k + 1])),
+                                3,
+                                (0, 255, 0),
+                                -1,
+                            )
                 cv2.imwrite(
                     os.path.join(
                         out_dir, f"{i:02d}_{n_img:03d}_{len(rects):02d}.jpg"

@@ -44,6 +44,39 @@ def trunc_toward_zero(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
+def st_calc_dev(shapes: jnp.ndarray, mean_shape: jnp.ndarray) -> jnp.ndarray:
+    """Batched STParameter::Calc on device (data.cpp:64-114): [N, 2, 2]
+    scale*rotation matrices mapping mean-shape-frame offsets into each
+    window's current-shape frame.  float32, same operation order as the
+    host port (jda_tpu/data.py st_calc)."""
+    n = shapes.shape[0]
+    x1 = shapes[:, 0::2]
+    y1 = shapes[:, 1::2]
+    x2 = jnp.broadcast_to(mean_shape[0::2], x1.shape)
+    y2 = jnp.broadcast_to(mean_shape[1::2], y1.shape)
+    tx1 = x1 - x1.mean(1, keepdims=True)
+    ty1 = y1 - y1.mean(1, keepdims=True)
+    tx2 = x2 - x2.mean(1, keepdims=True)
+    ty2 = y2 - y2.mean(1, keepdims=True)
+    s1 = jnp.sqrt((tx1**2 + ty1**2).sum(1))
+    s2 = jnp.sqrt((tx2**2 + ty2**2).sum(1))
+    scale = s1 / s2
+    tx1n, ty1n = tx1 / s1[:, None], ty1 / s1[:, None]
+    tx2n, ty2n = tx2 / s2[:, None], ty2 / s2[:, None]
+    num = (ty1n * tx2n - tx1n * ty2n).sum(1)
+    den = (tx1n * tx2n + ty1n * ty2n).sum(1)
+    norm = jnp.sqrt(num**2 + den**2)
+    sin_t = num / norm
+    cos_t = den / norm
+    return jnp.stack(
+        [
+            jnp.stack([scale * cos_t, scale * -sin_t], axis=1),
+            jnp.stack([scale * sin_t, scale * cos_t], axis=1),
+        ],
+        axis=1,
+    )
+
+
 def init_state(
     n: int,
     mean_shape: jnp.ndarray,
@@ -262,6 +295,7 @@ def apply_regression(
     *,
     leaf_n: int,
     exact: bool = True,
+    stp: Optional[jnp.ndarray] = None,  # [N, 2, 2] similarity (mean->current)
 ) -> Dict[str, jnp.ndarray]:
     """Per-stage shape update from local binary features.
 
@@ -272,6 +306,12 @@ def apply_regression(
     flip a truncation boundary.  exact=False uses the MXU one-hot matmul
     (faster, ~1e-7 relative difference).
 
+    stp applies the per-window similarity transform to the accumulated
+    delta before the shape update (GenDeltaShape's stp_mc.Apply,
+    btcart.cpp:407-424) — the reference sums the weight rows first, then
+    rotates the summed delta, so exact mode accumulates the delta
+    separately when stp is given.
+
     Only stage survivors receive the update (rejected windows stop moving,
     matching the reference's goto-next).
     """
@@ -279,16 +319,26 @@ def apply_regression(
     L2 = W_t.shape[-1]
     Wk = W_t.reshape(K, leaf_n, L2)
     if exact:
-        def body(shape, xs):
+        def body(acc, xs):
             wk, leaf = xs  # wk [leaf_n, L2], leaf [N]
-            return shape + wk[leaf], None
+            return acc + wk[leaf], None
 
-        new_shape, _ = jax.lax.scan(body, state["shape"], (Wk, leaves.T))
+        init = state["shape"] if stp is None else jnp.zeros_like(state["shape"])
+        delta, _ = jax.lax.scan(body, init, (Wk, leaves.T))
+        if stp is None:
+            new_shape = delta
+        else:
+            xy = delta.reshape(n, L2 // 2, 2)
+            rot = jnp.einsum("nij,nlj->nli", stp, xy).reshape(n, L2)
+            new_shape = state["shape"] + rot
     else:
         onehot = jax.nn.one_hot(leaves, leaf_n, dtype=W_t.dtype)  # [N, K, leaf_n]
         delta = jnp.einsum(
             "nkl,kld->nd", onehot, Wk, preferred_element_type=jnp.float32
         )
+        if stp is not None:
+            xy = delta.reshape(n, L2 // 2, 2)
+            delta = jnp.einsum("nij,nlj->nli", stp, xy).reshape(n, L2)
         new_shape = state["shape"] + delta
     out = dict(state)
     out["shape"] = jnp.where(state["alive"][:, None], new_shape, state["shape"])
@@ -313,7 +363,15 @@ def stage_params(dev: Dict[str, jnp.ndarray], t) -> Dict[str, jnp.ndarray]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "rounding", "leaf_n", "T", "exact", "single_scale"),
+    static_argnames=(
+        "depth",
+        "rounding",
+        "leaf_n",
+        "T",
+        "exact",
+        "single_scale",
+        "with_stp",
+    ),
 )
 def cascade_full(
     dev: Dict[str, jnp.ndarray],
@@ -326,14 +384,23 @@ def cascade_full(
     T: int,
     exact: bool = True,
     single_scale: bool = False,
+    with_stp: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """All T stages on one batch, no compaction (reference-faithful scoring).
 
     Host pipelines (Detector) instead run stage-by-stage with survivor
     compaction; this single-program variant backs tests, mining validation,
     and the graft entry point.
+
+    with_stp reproduces Validate's per-stage similarity transform
+    (cascador.cpp:180,196): recomputed from each window's current shape at
+    stage entry, applied to feature offsets during descent and to the
+    regression delta.  Off in both shipped configs.
     """
     for t in range(T):
+        stp = (
+            st_calc_dev(state["shape"], dev["mean_shape"]) if with_stp else None
+        )
         sp = stage_params(dev, t)
         state, leaves = run_cart_chunk(
             sp,
@@ -342,8 +409,9 @@ def cascade_full(
             depth=depth,
             rounding=rounding,
             single_scale=single_scale,
+            stp=stp,
         )
         state = apply_regression(
-            dev["W"][t], leaves, state, leaf_n=leaf_n, exact=exact
+            dev["W"][t], leaves, state, leaf_n=leaf_n, exact=exact, stp=stp
         )
     return state

@@ -370,6 +370,216 @@ def stage0_filter_all_scales_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# Pallas kernel v2: phase planes RESIDENT in VMEM, cart loop inside the
+# kernel.  The round-1 kernel (above) re-DMA'd ~0.5 MB of phase data from HBM
+# for every (cart, node, point) — 7560 copies per scale of the same ~1 MB of
+# pixels.  Here the planes are loaded once per image (grid = batch), and each
+# crop is two register-level shifts (an 8-way sublane switch and a ~12-way
+# lane switch over static slices), so the filter runs at VMEM/VPU speed with
+# zero HBM traffic inside the cart loop.  Scales whose phase planes exceed
+# the VMEM budget (large scan steps: s^2 alignment padding blows up) fall
+# back to the XLA scan — they carry ~1% of the windows.
+# ---------------------------------------------------------------------------
+
+_RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _resident_geom(H: int, W: int, win: int, step: int, ny: int, nx: int):
+    """Phase-plane geometry for the resident kernel (None if over budget)."""
+    s2 = step * step
+    ny8 = -(-ny // 8) * 8
+    nx128 = -(-nx // 128) * 128
+    umax = (win - 1) // step
+    NYB = ny8 + 8
+    Hp = max(-(-H // step), (umax // 8) * 8 + NYB)
+    Hp = -(-Hp // 8) * 8
+    Wp = max(-(-W // step), umax + nx128)
+    Wp = -(-Wp // 128) * 128
+    if s2 * Hp * Wp * 4 > _RESIDENT_VMEM_BUDGET:
+        return None
+    return dict(s2=s2, ny8=ny8, nx128=nx128, umax=umax, NYB=NYB, Hp=Hp, Wp=Wp)
+
+
+def _scale_filter_pallas_resident(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabi: jnp.ndarray,  # [K, 6*node_n + node_n] int32 (pack_tables)
+    tabf: jnp.ndarray,  # [K, leaf_n + 3] float32
+    *,
+    step: int,
+    ny: int,
+    nx: int,
+    depth: int,
+    geom: dict,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = img.shape[0]
+    K = tabi.shape[0]
+    node_n = (1 << (depth - 1)) - 1
+    leaf_n = node_n + 1
+    ny8, nx128 = geom["ny8"], geom["nx128"]
+    umax, NYB = geom["umax"], geom["NYB"]
+    Hp, Wp = geom["Hp"], geom["Wp"]
+    s2 = geom["s2"]
+    ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+
+    def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref):
+        def crop(k, o):
+            # crop at (u, v) of plane pi: a tile-aligned VMEM read plus two
+            # dynamic rotates (tpu DynamicRotateOp handles traced shifts;
+            # lax.switch over slices would execute EVERY branch + select)
+            pi = tabi_ref[k, o]
+            u = tabi_ref[k, o + 1]
+            v = tabi_ref[k, o + 2]
+            u_al = pl.multiple_of((u // 8) * 8, 8)
+            buf = ph_ref[0, pi, pl.ds(u_al, NYB), :]  # [NYB, Wp]
+            ru = u - u_al
+            rows = pltpu.roll(buf, (NYB - ru) % NYB, 0)[:ny8, :]
+            return pltpu.roll(rows, (Wp - v) % Wp, 1)[:, :nx128]
+
+        def bit_sel(planes, bits_i32):
+            if not bits_i32:
+                return planes[0]
+            half = len(planes) // 2
+            return jnp.where(
+                bits_i32[0] != 0,
+                bit_sel(planes[half:], bits_i32[1:]),
+                bit_sel(planes[:half], bits_i32[1:]),
+            )
+
+        # loop state lives in the output refs (VMEM blocks): Mosaic cannot
+        # reconcile splat-constant fori carries with computed layouts
+        score_ref[0] = jnp.zeros((ny8, nx128), jnp.float32)
+        alive_ref[0] = jnp.ones((ny8, nx128), jnp.int32)
+        nvis_ref[0] = jnp.zeros((ny8, nx128), jnp.int32)
+
+        def cart_body(k, _):
+            s = score_ref[0]
+            al = alive_ref[0]
+            vals = [crop(k, 6 * j) - crop(k, 6 * j + 3) for j in range(node_n)]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    (vals[j] > tabi_ref[k, 6 * node_n + j]).astype(jnp.int32)
+                    for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(bit_sel(planes, bits))
+            leaf_planes = [
+                jnp.full((ny8, nx128), tabf_ref[k, j], jnp.float32)
+                for j in range(leaf_n)
+            ]
+            b = bit_sel(leaf_planes, bits)
+            alb = al != 0
+            s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
+            s = jnp.where(alb, s_new, s)
+            score_ref[0] = s
+            nvis_ref[0] = nvis_ref[0] + al
+            alive_ref[0] = jnp.where(
+                alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, K, cart_body, 0)
+
+    score, alive, nvis = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                tabi.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                tabf.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, s2, Hp, Wp),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+        ],
+    )(tabi, tabf, ph)
+    return (
+        score[:, :ny, :nx],
+        alive[:, :ny, :nx] != 0,
+        nvis[:, :ny, :nx],
+    )
+
+
+def mixed_tables(
+    tabs, scales, node_n: int
+):
+    """Per-scale device tables for stage0_filter_mixed: node_tables dict
+    plus (when the resident kernel applies) the packed SMEM rows."""
+    out = []
+    for tab, (win, step, ny, nx) in zip(tabs, scales):
+        d = {k: jnp.asarray(v) for k, v in tab.items()}
+        tabi, tabf = pack_tables(tab, node_n)
+        d["tabi"] = jnp.asarray(tabi)
+        d["tabf"] = jnp.asarray(tabf)
+        out.append(d)
+    return tuple(out)
+
+
+def stage0_filter_mixed(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabs,  # mixed_tables output
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],
+    depth: int,
+):
+    """Full stage-0: resident Pallas kernel where the phase planes fit in
+    VMEM, XLA scan elsewhere.  Output layout identical to
+    stage0_filter_all_scales."""
+    B, H, W = img.shape
+    scores, alives, nviss = [], [], []
+    for (win, step, ny, nx), tab in zip(meta, tabs):
+        geom = _resident_geom(H, W, win, step, ny, nx)
+        if geom is not None:
+            s, a, nv = _scale_filter_pallas_resident(
+                img,
+                tab["tabi"],
+                tab["tabf"],
+                step=step,
+                ny=ny,
+                nx=nx,
+                depth=depth,
+                geom=geom,
+            )
+        else:
+            base = {
+                k: v for k, v in tab.items() if k not in ("tabi", "tabf")
+            }
+            s, a, nv = _scale_filter(
+                img, base, step=step, ny=ny, nx=nx, depth=depth
+            )
+        scores.append(s.reshape(B, ny * nx))
+        alives.append(a.reshape(B, ny * nx))
+        nviss.append(nv.reshape(B, ny * nx))
+    return (
+        jnp.concatenate(scores, axis=1),
+        jnp.concatenate(alives, axis=1),
+        jnp.concatenate(nviss, axis=1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "depth"))
 def stage0_filter_all_scales(
     img: jnp.ndarray,  # [B, H, W] int32

@@ -1,0 +1,260 @@
+"""Fused single-dispatch detection pipeline.
+
+The reference detector's economics come from per-window early exit
+(/root/reference/c/jda.c:360-414: most windows die within a few carts).
+Round-1's batched pipeline recovered that with a dense stage-0 filter +
+host-side survivor compaction, but paid ~50-80 ms of relay dispatch/transfer
+latency per device round trip.  This module fuses the whole cascade into ONE
+jit program per (batch, canonical dims, scale ladder):
+
+  1. dense stage-0 filter over every scan scale (ops/dense0.py) — zero
+     gathers, pure shifted-crop arithmetic;
+  2. on-device survivor compaction into a fixed lane budget (cumsum +
+     scatter-drop);
+  3. stage-0 leaf rerun on the compacted lanes (the only pass that still
+     needs pixel gathers at full stage width; its score/alive state comes
+     from the dense filter, so only the tree descent runs);
+  4. stages 1..T-1 with *per-stage* on-device compaction: a trained cascade
+     keeps rejecting at every stage, so each stage runs on a geometrically
+     smaller lane budget — the gather bill tracks the true survivor
+     population instead of the stage-0 budget.
+
+Budgets are static (XLA needs static shapes); the program returns the true
+per-stage survivor counts so the host can detect overflow, double the
+budget, and recompile (self-tuning, rare).  All arithmetic is bit-identical
+to the unfused path: compaction only re-packs lanes, and every per-window
+float sequence (score chain, exact sequential regression) is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.ops import cascade as C
+from jda_tpu.ops import dense0 as D0
+
+
+def compact(alive: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack indices of alive lanes into a fixed [budget] buffer.
+
+    Returns (sel [budget] int32 with -1 padding, count).  Lanes beyond the
+    budget are dropped (the caller checks count <= budget and retries with a
+    bigger budget).  Order-preserving, so downstream results are invariant
+    to the compaction itself.
+    """
+    n = alive.shape[0]
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    pos = jnp.where(alive, pos, budget)  # dead -> out of bounds -> dropped
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sel = jnp.full((budget,), -1, jnp.int32).at[pos].set(idx, mode="drop")
+    return sel, jnp.sum(alive.astype(jnp.int32))
+
+
+def _gather_state(state: Dict[str, jnp.ndarray], selc, valid) -> Dict[str, jnp.ndarray]:
+    out = {k: v[selc] for k, v in state.items()}
+    out["alive"] = valid
+    return out
+
+
+# carts per leading chunk of stages >= 1: trained cascades front-load
+# rejection within a stage too (realistic_drop_profile / the reference's
+# per-cart thresholds), so compacting after the first SPLIT carts roughly
+# halves the lanes the remaining K - SPLIT carts pay gathers for
+STAGE_SPLIT = 64
+
+
+def default_budgets(n_windows: int, B: int, T: int, K: int) -> Tuple[int, ...]:
+    """Initial lane budgets (flat, in compaction order).
+
+    budgets[0]: dense survivors (stage-0 rerun + stage-1 leading chunk).
+    Then, per stage t in [1, T-1]: a mid-stage budget (after STAGE_SPLIT
+    carts, only when K > 2*STAGE_SPLIT) and a post-stage budget (except
+    after the last stage).  Sized for a trained cascade (~0.5% stage-0
+    pass, ~2/3 attrition per compaction point); the fused program reports
+    true counts so callers double any overflowed entry and recompile.
+    """
+    s0 = max(1024, -(-n_windows * B // 192) // 512 * 512)
+    out = [s0]
+    cur = s0
+    split = K > 2 * STAGE_SPLIT
+    for t in range(1, T):
+        if split:
+            cur = max(512, -(-cur * 5 // 8) // 256 * 256)
+            out.append(cur)  # mid-stage
+        if t < T - 1:
+            cur = max(512, -(-cur * 5 // 8) // 256 * 256)
+            out.append(cur)  # post-stage
+    return tuple(out)
+
+
+def make_fused_fn(
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],  # (win, step, ny, nx) per scale
+    depth: int,
+    leaf_n: int,
+    T: int,
+    H: int,
+    W: int,
+    budgets: Tuple[int, ...],  # budgets[0] = stage-0 rerun lanes (also carries
+    # stage 1); budgets[t] = lanes kept after stage t's rejections, t in
+    # [1, T-2].  Need not be powers of two — any static size compiles.
+    use_pallas: bool = False,
+):
+    """Build the fused program for one static geometry.  The returned fn is
+    jit-compiled on first call; all dynamic data (model, images, window
+    tables) are ordinary traced args."""
+
+    n_windows = sum(ny * nx for _, _, ny, nx in meta)
+
+    @jax.jit
+    def run(
+        dev: Dict[str, jnp.ndarray],
+        imgs: jnp.ndarray,  # [B, H, W] uint8 or int32
+        dims: jnp.ndarray,  # [B, 2] int32 (img_w, img_h) per image
+        tabs,  # dense-filter tables: tuple of dicts (XLA) or (tabi, tabf) (pallas)
+        xywin: jnp.ndarray,  # [n, 3] int32 window (x, y, win) in enumeration order
+    ) -> Dict[str, jnp.ndarray]:
+        B = imgs.shape[0]
+        imgs = imgs.astype(jnp.int32)
+        n = n_windows
+
+        # -- 1. dense stage-0 over all scales --------------------------------
+        if use_pallas:
+            score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
+                imgs, tabs, meta=meta, depth=depth
+            )
+        else:
+            score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
+                imgs, tabs, meta=meta, depth=depth
+            )
+
+        # per-image validity on the canonical grid: window must fit inside
+        # the image's own dims (x <= w - win implies win <= w)
+        x = xywin[:, 0][None, :]
+        y = xywin[:, 1][None, :]
+        win = xywin[:, 2][None, :]
+        ok = (x <= dims[:, 0][:, None] - win) & (y <= dims[:, 1][:, None] - win)
+        alive_flat = (alive_d & ok).reshape(-1)
+        total_nvis = jnp.sum(jnp.where(ok, nvis_d, 0))
+
+        # -- 2. compaction into the stage-0 rerun budget ---------------------
+        S0 = budgets[0]
+        sel, count0 = compact(alive_flat, S0)
+        valid = sel >= 0
+        selc = jnp.maximum(sel, 0)
+        b_idx = selc // n
+        w_idx = selc % n
+        base_o = (b_idx * (H * W) + xywin[w_idx, 1] * W + xywin[w_idx, 0]).astype(
+            jnp.int32
+        )
+        win_s = xywin[w_idx, 2]
+        base = jnp.stack([base_o] * 3, axis=1)
+        stride = jnp.full((S0, 3), W, jnp.int32)
+        pw = jnp.stack([win_s] * 3, axis=1)
+        state = C.init_state(S0, dev["mean_shape"], base, stride, pw, pw, valid)
+        state["score"] = jnp.where(valid, score_d.reshape(-1)[selc], 0.0)
+        state["nvis"] = jnp.where(valid, nvis_d.reshape(-1)[selc], 0)
+        # snapshot of the dense nvis per lane: tail telemetry counts only
+        # increments beyond it (rides along through compactions)
+        state["dnvis"] = state["nvis"]
+
+        flat_img = imgs.reshape(-1)
+
+        # -- 3. stage-0 leaf rerun (descent only; dense already scored) ------
+        sp0 = C.stage_params(dev, 0)
+        leaves0, _ = C.carts_descend(
+            sp0, flat_img, state, depth=depth, rounding=False, single_scale=True
+        )
+        state = C.apply_regression(dev["W"][0], leaves0, state, leaf_n=leaf_n)
+
+        counts = [count0]
+        sel_global = jnp.where(valid, selc, -1)  # lane -> flat (b*n + w) id
+        K = dev["feat_th"].shape[1]
+        split = K > 2 * STAGE_SPLIT
+        bi_cursor = 1  # next entry of the flat budget tuple
+
+        def do_compact(state, sel_global, total_nvis, budget, carried=None):
+            lsel, cnt = compact(state["alive"], budget)
+            lvalid = lsel >= 0
+            lselc = jnp.maximum(lsel, 0)
+            # lanes dropped here were rejected mid-tail: bank their
+            # post-dense visit increments before they disappear
+            dropped = (sel_global >= 0) & ~state["alive"]
+            total_nvis = total_nvis + jnp.sum(
+                jnp.where(dropped, state["nvis"] - state["dnvis"], 0)
+            )
+            state = _gather_state(state, lselc, lvalid)
+            sel_global = jnp.where(lvalid, sel_global[lselc], -1)
+            carried = None if carried is None else carried[lselc]
+            return state, sel_global, total_nvis, cnt, carried
+
+        # -- 4. stages 1..T-1 -------------------------------------------------
+        # Stage 1 necessarily starts on every stage-0 survivor; lanes are
+        # re-compacted mid-stage (front-loaded in-stage rejection) and after
+        # each stage, so each cart chunk's gather bill tracks the true
+        # survivor population.
+        for t in range(1, T):
+            sp = C.stage_params(dev, t)
+            if split:
+                spA = {k: v[:STAGE_SPLIT] for k, v in sp.items()}
+                spB = {k: v[STAGE_SPLIT:] for k, v in sp.items()}
+                state, leavesA = C.run_cart_chunk(
+                    spA,
+                    flat_img,
+                    state,
+                    depth=depth,
+                    rounding=False,
+                    single_scale=True,
+                )
+                state, sel_global, total_nvis, cnt, leavesA = do_compact(
+                    state, sel_global, total_nvis, budgets[bi_cursor], leavesA
+                )
+                counts.append(cnt)
+                bi_cursor += 1
+                state, leavesB = C.run_cart_chunk(
+                    spB,
+                    flat_img,
+                    state,
+                    depth=depth,
+                    rounding=False,
+                    single_scale=True,
+                )
+                leaves = jnp.concatenate([leavesA, leavesB], axis=1)
+            else:
+                state, leaves = C.run_cart_chunk(
+                    sp,
+                    flat_img,
+                    state,
+                    depth=depth,
+                    rounding=False,
+                    single_scale=True,
+                )
+            state = C.apply_regression(dev["W"][t], leaves, state, leaf_n=leaf_n)
+            if t < T - 1:
+                state, sel_global, total_nvis, cnt, _ = do_compact(
+                    state, sel_global, total_nvis, budgets[bi_cursor]
+                )
+                counts.append(cnt)
+                bi_cursor += 1
+
+        # post-dense increments of every lane still resident after stage T-1
+        total_nvis = total_nvis + jnp.sum(
+            jnp.where(sel_global >= 0, state["nvis"] - state["dnvis"], 0)
+        )
+
+        return {
+            "sel": sel_global,  # [budgets[-1]] flat window id or -1
+            "score": state["score"],
+            "shape": state["shape"],
+            "alive": state["alive"] & (sel_global >= 0),
+            "nvis": state["nvis"],
+            "counts": jnp.stack(counts),
+            "total_nvis": total_nvis,
+        }
+
+    return run

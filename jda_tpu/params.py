@@ -292,14 +292,22 @@ def realistic_drop_profile(T: int, K: int) -> np.ndarray:
 
     Trained JDA models front-load rejection — most non-face windows die in
     the first carts ("average number of cart to reject" telemetry,
-    src/jda/data.cpp:1053-1059); later carts each drop O(drop_n) samples.
-    Final acceptance on noise ends up ~0.3% of windows, in line with a
-    detector's false-positive-ish rate per image.
+    src/jda/data.cpp:1053-1059) — and *every* stage keeps rejecting: the
+    per-stage negative pass rate multiplies, which is the whole point of a
+    cascade (hard negatives are re-mined each stage against the partial
+    cascade, data.cpp:971-1012, so stage t's carts are trained to reject
+    what stages <t accepted).  Stage 0 kills ~99.5% of noise windows; each
+    later stage passes roughly a third of what reaches it.
     """
     prof = np.full(T * K, 5e-4)
     prof[:32] = 0.06
     prof[32:128] = 0.02
-    prof[128 : min(K, T * K)] = 0.002
+    prof[128 : min(K, T * K)] = 0.004
+    # stages >= 1: front-loaded rejection of the previous stage's survivors
+    for t in range(1, T):
+        s = t * K
+        prof[s : s + min(64, K)] = 0.01
+        prof[s + 64 : (t + 1) * K] = 0.001
     return prof
 
 
@@ -372,7 +380,10 @@ def synthetic_model(
     )
     if drop_profile is not None:
         # calibrate th_k so that a fraction drop_profile[k] of *surviving*
-        # random trajectories falls below it at cart k
+        # random trajectories falls below it at cart k.  When the surviving
+        # pool thins out, dead trajectories are resampled onto live ones so
+        # later stages keep a statistically meaningful pool to calibrate on
+        # (a trained cascade rejects at every stage, not just stage 0).
         M = 1 << 16
         sim = np.random.default_rng(seed + 1)
         leaf_flat = params.leaf_scores.reshape(T * K, leaf_n)
@@ -381,8 +392,16 @@ def synthetic_model(
         th = np.full(T * K, -1e9)
         for k in range(T * K):
             s = s + leaf_flat[k, sim.integers(0, leaf_n, M)]
+            n_live = int(alive.sum())
+            if n_live and n_live < M // 64:
+                # replenish: clone surviving trajectories into dead slots
+                dead = np.flatnonzero(~alive)
+                src = np.flatnonzero(alive)
+                s[dead] = s[src[sim.integers(0, n_live, len(dead))]]
+                alive[:] = True
+                n_live = M
             live = s[alive]
-            if len(live) >= 512 and drop_profile[k] > 0:
+            if n_live >= 256 and drop_profile[k] > 0:
                 th[k] = np.quantile(live, drop_profile[k])
                 alive &= s >= th[k]
         params = dataclasses.replace(params, cart_th=th.reshape(T, K))

@@ -84,7 +84,12 @@ def empty_model(c: Config) -> CascadeParams:
 class Trainer:
     """Joint cascade trainer (the `jda train` / `jda resume` workloads)."""
 
-    def __init__(self, c: Config, model: Optional[CascadeParams] = None):
+    def __init__(
+        self,
+        c: Config,
+        model: Optional[CascadeParams] = None,
+        mesh=None,
+    ):
         self.c = c
         self.model = model if model is not None else empty_model(c)
         self.rng = np.random.default_rng(c.seed)
@@ -96,6 +101,16 @@ class Trainer:
         self.verbose = False  # per-cart score-density graphs (btcart.cpp:19-102)
         self.snapshot_dir: Optional[str] = None
         self.stats: Dict = {"stages": []}
+        # multi-chip: sample-sharded compute over a jax mesh (SURVEY.md §2
+        # P1/P2/P5; train/sharded.py).  The corpus buffer is replicated so
+        # every chip's gathers are local; split histograms psum over ICI.
+        self.ops = None
+        if mesh is not None:
+            from jda_tpu.train.sharded import ShardedOps
+
+            self.ops = ShardedOps(mesh)
+            self.pos.device_sharding = self.ops.repl
+            self.neg.device_sharding = self.ops.repl
 
     # -- data plumbing ------------------------------------------------------
 
@@ -140,9 +155,12 @@ class Trainer:
     # -- device helpers -----------------------------------------------------
 
     def _subset(self, ds: DataSet, idx: np.ndarray):
-        """Bucket-padded device views of a sample subset."""
+        """Bucket-padded device views of a sample subset (mesh-sharded over
+        the sample axis when the Trainer is mesh-bound)."""
         m = len(idx)
         b = _bucket(max(m, 1))
+        if self.ops is not None:
+            b += (-b) % self.ops.nd  # shard_map needs even division
         pad = b - m
         # geometry over PHYSICAL rows (idx index the physical corpus; dead
         # rows linger until lazy compaction)
@@ -154,11 +172,14 @@ class Trainer:
                 a = np.concatenate(
                     [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
                 )
-            return jnp.asarray(a)
+            out = jnp.asarray(a)
+            return self.ops.shard(out) if self.ops is not None else out
 
         g = {k: padg(v) for k, v in geom.items()}
         shapes = padg(ds.current_shapes.astype(np.float32))
         valid = jnp.asarray(np.arange(b) < m)
+        if self.ops is not None:
+            valid = self.ops.shard(valid)
         stp = None
         if self.c.with_similarity_transform:
             stp = padg(ds.stp_mc.astype(np.float32))
@@ -182,6 +203,18 @@ class Trainer:
     def _descend(self, ds: DataSet, idx: np.ndarray, t: int, k0: int, k1: int):
         """leaves/leaf-scores of carts [k0, k1) on a sample subset."""
         g, shapes, valid, stp, m, b = self._subset(ds, idx)
+        if self.ops is not None:
+            leaves, bscores = self.ops.descend(
+                self.ops.replicate(self._model_chunk(t, k0, k1)),
+                ds.flat_dev(),
+                g,
+                shapes,
+                stp,
+                depth=self.c.tree_depth,
+                rounding=True,
+                single_scale=self.single_scale,
+            )
+            return np.asarray(leaves)[:m], np.asarray(bscores)[:m]
         state = {
             "shape": shapes,
             "base": g["base"],
@@ -227,6 +260,58 @@ class Trainer:
                 f_idx, th = 0, -256
                 vp_col = np.zeros(0, np.int32)
                 vn_col = np.zeros(0, np.int32)
+            elif self.ops is not None:
+                gp, sp_, vp_mask, stp_p, mp, bp = self._subset(self.pos, pidx)
+                gn, sn_, vn_mask, stp_n, mn, bn = self._subset(self.neg, nidx)
+                pool_r = self.ops.replicate(pool_dev)
+
+                def padw_dev(ds, idx, b):
+                    w = ds.weights[idx].astype(np.float32)
+                    return self.ops.shard(
+                        jnp.asarray(
+                            np.concatenate(
+                                [w, np.zeros(b - len(idx), np.float32)]
+                            )
+                        )
+                    )
+
+                if is_classification:
+                    f_dev, th_dev, _, vpc, vnc = self.ops.classification_split(
+                        self.pos.flat_dev(), gp, sp_,
+                        padw_dev(self.pos, pidx, bp), vp_mask,
+                        self.neg.flat_dev(), gn, sn_,
+                        padw_dev(self.neg, nidx, bn), vn_mask,
+                        pool_r, stp_p, stp_n,
+                    )
+                else:
+                    resid = self.pos.shape_residual(pidx, landmark_id).astype(
+                        np.float32
+                    )
+                    resid = np.concatenate(
+                        [resid, np.zeros((bp - mp, 2), np.float32)]
+                    )
+                    has_gt = np.concatenate(
+                        [
+                            self.pos.shape_mask[pidx] == 1,
+                            np.zeros(bp - mp, bool),
+                        ]
+                    )
+                    u = self.rng.uniform(0.1, 0.9, c.feats[t]).astype(
+                        np.float32
+                    )
+                    f_dev, th_dev, _, vpc, vnc = self.ops.regression_split(
+                        self.pos.flat_dev(), gp, sp_,
+                        self.ops.shard(jnp.asarray(resid)),
+                        self.ops.shard(jnp.asarray(has_gt)),
+                        vp_mask,
+                        self.neg.flat_dev(), gn, sn_,
+                        pool_r,
+                        self.ops.replicate(jnp.asarray(u)),
+                        stp_p, stp_n,
+                    )
+                f_idx, th = int(f_dev), int(th_dev)
+                vp_col = np.asarray(vpc)[:mp]
+                vn_col = np.asarray(vnc)[:mn]
             else:
                 gp, sp_, vp_mask, stp_p, mp, bp = self._subset(self.pos, pidx)
                 gn, sn_, vn_mask, stp_n, mn, bn = self._subset(self.neg, nidx)
@@ -342,7 +427,16 @@ class Trainer:
                 jnp.asarray(np.arange(b) < m),
             )
             state["shape"] = jnp.asarray(shapes)
+            with_stp = c.with_similarity_transform
             for tt in range(stage):
+                # per-stage similarity transform from the CURRENT shapes
+                # (Validate recomputes it at each stage, cascador.cpp:180,
+                # and applies it to offsets and the delta, :184,196)
+                stp = (
+                    C.st_calc_dev(state["shape"], jnp.asarray(ms))
+                    if with_stp
+                    else None
+                )
                 state, leaves = _chunk_jit(
                     self._model_chunk(tt, 0, c.K),
                     flat_dev,
@@ -350,14 +444,21 @@ class Trainer:
                     depth=c.tree_depth,
                     rounding=True,
                     single_scale=self.single_scale,
+                    stp=stp,
                 )
                 state = _regress_jit(
                     jnp.asarray(self.model.W[tt], jnp.float32),
                     leaves,
                     state,
                     leaf_n=c.leaf_n,
+                    stp=stp,
                 )
             if cart >= 0:
+                stp = (
+                    C.st_calc_dev(state["shape"], jnp.asarray(ms))
+                    if with_stp
+                    else None
+                )
                 state, _ = _chunk_jit(
                     self._model_chunk(stage, 0, cart + 1),
                     flat_dev,
@@ -365,6 +466,7 @@ class Trainer:
                     depth=c.tree_depth,
                     rounding=True,
                     single_scale=self.single_scale,
+                    stp=stp,
                 )
             return (
                 np.asarray(state["alive"])[:m],
@@ -515,7 +617,12 @@ class Trainer:
         has_gt = pos.shape_mask[pos_live] == 1
         valid = pos_live[has_gt]
         resid = pos.shape_residual(valid).astype(np.float32)
-        W = RG.ridge_lbf(pos_lbf[has_gt], resid, c.lbf_dim)
+        if self.ops is not None:
+            from jda_tpu.train.sharded import ridge_lbf_sharded
+
+            W = ridge_lbf_sharded(self.ops, pos_lbf[has_gt], resid, c.lbf_dim)
+        else:
+            W = RG.ridge_lbf(pos_lbf[has_gt], resid, c.lbf_dim)
         self.model.W[t] = W
 
         for ds, lbf, lidx in ((pos, pos_lbf, pos_live), (neg, neg_lbf, neg_live)):

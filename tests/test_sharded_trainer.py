@@ -1,0 +1,73 @@
+"""Mesh-sharded Trainer vs single-device Trainer.
+
+The sharded path (train/sharded.py) must make the same training decisions:
+identical chosen split features/thresholds (ints), identical sample
+removals, and float model fields equal to reduction tolerance (psum
+reorders float adds; the reference's own OpenMP merges are run-to-run
+nondeterministic, so int-exact decisions + float-tolerant weights is the
+meaningful equivalence — see train/sharded.py module docstring).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from jda_tpu.train.boost import Trainer
+
+from test_training import _tiny_config, build_synthetic
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("dp",))
+
+
+def _train_pair(**cfg_kw):
+    c1 = _tiny_config(**cfg_kw)
+    t_ref = Trainer(c1)
+    t_ref.mining_max_batches = 40
+    rows, gts, bgs = build_synthetic(c1)
+    t_ref.set_synthetic_data(rows, gts, bgs)
+    t_ref.train()
+
+    c2 = _tiny_config(**cfg_kw)
+    t_sh = Trainer(c2, mesh=_mesh())
+    t_sh.mining_max_batches = 40
+    rows2, gts2, bgs2 = build_synthetic(c2)
+    t_sh.set_synthetic_data(rows2, gts2, bgs2)
+    t_sh.train()
+    return t_ref, t_sh
+
+
+def test_sharded_trainer_matches_single_device():
+    t_ref, t_sh = _train_pair()
+    a, b = t_ref.model, t_sh.model
+
+    # integer decisions must match exactly
+    np.testing.assert_array_equal(a.lmk1, b.lmk1)
+    np.testing.assert_array_equal(a.lmk2, b.lmk2)
+    np.testing.assert_array_equal(a.scale, b.scale)
+    np.testing.assert_array_equal(a.feat_th, b.feat_th)
+    np.testing.assert_allclose(a.off1, b.off1)
+    np.testing.assert_allclose(a.off2, b.off2)
+
+    # float fields to reduction tolerance
+    np.testing.assert_allclose(a.leaf_scores, b.leaf_scores, atol=1e-5)
+    np.testing.assert_allclose(a.cart_th, b.cart_th, atol=1e-5)
+    np.testing.assert_allclose(a.W, b.W, atol=2e-4)
+
+    # identical surviving corpora
+    np.testing.assert_array_equal(t_ref.pos.live, t_sh.pos.live)
+    assert t_ref.neg.size == t_sh.neg.size
+
+
+@pytest.mark.parametrize("kw", [dict(with_similarity_transform=True)],
+                         ids=["similarity-transform"])
+def test_sharded_trainer_variant(kw):
+    t_ref, t_sh = _train_pair(**kw)
+    np.testing.assert_array_equal(t_ref.model.feat_th, t_sh.model.feat_th)
+    np.testing.assert_array_equal(t_ref.model.lmk1, t_sh.model.lmk1)
+    np.testing.assert_allclose(
+        t_ref.model.leaf_scores, t_sh.model.leaf_scores, atol=1e-5
+    )
