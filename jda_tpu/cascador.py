@@ -279,6 +279,129 @@ class CppDetector:
             np.concatenate(all_shapes),
         )
 
+    # -- batched method-1 detection (the fddb throughput path) ---------------
+
+    def detect_batch(
+        self, grays: List[np.ndarray]
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, DetectionStatistic]]:
+        """Batched `jda fddb` detection: every image of the batch shares one
+        fused device dispatch (ops/fused.py) on a canonical method-1 window
+        ladder with C++ rounding semantics.  Exact for single-scale models
+        (method-1 windows read only the origin plane then); multi-scale or
+        method-0 configs fall back to per-image detect().  The reference
+        gets its fddb throughput from the OpenMP fold loop
+        (src/test.cpp:100-101); here images ARE the batch axis."""
+        c = self.c
+        if not (
+            c.fddb_detect_method != 0
+            and self.det.single_scale
+            and self.det._fused_enabled()
+        ):
+            return [self.detect(g) for g in grays]
+        return self._detect_batch_m1(grays)
+
+    def _detect_batch_m1(self, grays, canon: Optional[Tuple[int, int]] = None):
+        import numpy as np
+
+        c = self.c
+        det = self.det
+        B = len(grays)
+        Hc = max(g.shape[0] for g in grays)
+        Wc = max(g.shape[1] for g in grays)
+        if canon is not None:
+            Hc, Wc = max(Hc, canon[0]), max(Wc, canon[1])
+        key = (
+            "fddb1",
+            B,
+            Hc,
+            Wc,
+            c.fddb_minimum_size,
+            c.fddb_step,
+            float(c.fddb_scale_factor),
+        )
+        plan = det._fused_cache.get(key)
+        if plan is None:
+            x, y, win, scales = self._enumerate_m1(Wc, Hc)
+            plan = det._fused_plan_windows(
+                key, B, Hc, Wc, x, y, win, tuple(scales), rounding=True
+            )
+        plan = det._fused_compile(plan)
+        L2 = self.params.landmark_dim
+        TK = self.params.T * self.params.K
+
+        def empty():
+            return (
+                np.zeros((0, 4), np.int32),
+                np.zeros(0),
+                np.zeros((0, L2)),
+                DetectionStatistic(),
+            )
+
+        if plan["n"] == 0:
+            return [empty() for _ in grays]
+
+        imgs_u8 = np.zeros((B, Hc, Wc), np.uint8)
+        for i, g in enumerate(grays):
+            imgs_u8[i, : g.shape[0], : g.shape[1]] = g
+        dims = np.array([[g.shape[1], g.shape[0]] for g in grays], np.int32)
+        out = det._fused_run(plan, imgs_u8, dims)
+        sel = np.asarray(out["sel"])
+        score = np.asarray(out["score"])
+        shape = np.asarray(out["shape"])
+        alive = np.asarray(out["alive"])
+        total_nvis = int(np.asarray(out["total_nvis"]))
+
+        n = plan["n"]
+        x, y, win = plan["x"], plan["y"], plan["win"]
+        keep = (sel >= 0) & alive  # method 1 has no final score threshold
+        bi = np.where(sel >= 0, sel // n, -1)
+        wi = np.where(sel >= 0, sel % n, 0)
+        faces_total = int(keep.sum())
+        # accepted windows traverse every cart, so the batch's rejected-
+        # window visit total is exact; it is apportioned per image by
+        # nonface share (fold aggregation — the reference's consumer — is
+        # unaffected by the split)
+        reject_nvis = total_nvis - faces_total * TK
+        nonface_counts = []
+        results = []
+        for i, g in enumerate(grays):
+            mask_i = (x <= g.shape[1] - win) & (y <= g.shape[0] - win)
+            m = keep & (bi == i)
+            nonface_counts.append(int(mask_i.sum()) - int(m.sum()))
+        nonface_total = max(sum(nonface_counts), 1)
+        given = 0
+        for i, g in enumerate(grays):
+            mask_n = int(((x <= g.shape[1] - win) & (y <= g.shape[0] - win)).sum())
+            m = keep & (bi == i)
+            cand = wi[m]
+            rects = np.stack(
+                [x[cand], y[cand], win[cand], win[cand]], 1
+            ).astype(np.int32)
+            scores_i = score[m].astype(np.float64)
+            shapes_i = shape[m].astype(np.float64)
+            if i < B - 1:
+                share = reject_nvis * nonface_counts[i] // nonface_total
+            else:
+                share = reject_nvis - given
+            given += share
+            stat = DetectionStatistic(
+                patch_n=mask_n,
+                face_patch_n=len(cand),
+                nonface_patch_n=nonface_counts[i],
+                cart_gothrough_n=int(share),
+            )
+            if c.fddb_nms:
+                picked = NMS.nms_cpp(rects, scores_i, c.fddb_overlap)
+            else:
+                picked = np.arange(len(rects))
+            rects = rects[picked]
+            scores_i = scores_i[picked]
+            shapes_i = shapes_i[picked].copy()
+            shapes_i[:, 0::2] = rects[:, 0:1] + shapes_i[:, 0::2] * rects[:, 2:3]
+            shapes_i[:, 1::2] = rects[:, 1:2] + shapes_i[:, 1::2] * rects[:, 3:4]
+            results.append((rects, scores_i, shapes_i, stat))
+        return results
+
     # -- public: JoinCascador::Detect (cascador.cpp:431-477) ----------------
 
     def detect(

@@ -31,6 +31,98 @@ from jda_tpu.config import Config
 
 
 # ---------------------------------------------------------------------------
+# Device-mirror helpers (uint8 on the wire; widen/update/compact on device)
+#
+# The relay tunnel to the chip moves ~3-30 MB/s, so corpus maintenance must
+# never re-ship the corpus: rows ship once as uint8 and all bookkeeping
+# (int32 widening, mined-row appends, dead-row compaction) runs on device.
+# ---------------------------------------------------------------------------
+
+def _pow2(n: int, lo: int = 64) -> int:
+    cap = lo
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _dev_fns():
+    """Lazy jitted mirror ops (import jax only when a mirror is built)."""
+    global _DEV
+    if _DEV is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        def widen_flat(rows_u8):  # [cap, D] u8 -> [cap*D] i32
+            return rows_u8.astype(jnp.int32).reshape(-1)
+
+        def to_canvas(orows_u8, S):  # [cap, S*S] u8 -> [cap, S, S] i8
+            return (
+                (orows_u8.astype(jnp.int16) - 128)
+                .astype(jnp.int8)
+                .reshape(-1, S, S)
+            )
+
+        def append_flat(flat, rows_u8, n0):  # in-place mined-row append
+            D = rows_u8.shape[1]
+            return jax.lax.dynamic_update_slice(
+                flat, rows_u8.astype(jnp.int32).reshape(-1), (n0 * D,)
+            )
+
+        def append_canvas(canvas, orows_u8, n0):
+            S = canvas.shape[1]
+            patch = to_canvas(orows_u8, S)
+            return jax.lax.dynamic_update_slice(canvas, patch, (n0, 0, 0))
+
+        def compact_flat(flat, idxp):  # row-gather the survivors
+            cap = idxp.shape[0]
+            D = flat.shape[0] // cap
+            return jnp.take(flat.reshape(cap, D), idxp, axis=0).reshape(-1)
+
+        def compact_canvas(canvas, idxp):
+            return jnp.take(canvas, idxp, axis=0)
+
+        def grow_flat(flat, newlen):
+            return jnp.concatenate(
+                [flat, jnp.zeros(newlen - flat.shape[0], jnp.int32)]
+            )
+
+        def grow_canvas(canvas, newcap):
+            S = canvas.shape[1]
+            pad = jnp.zeros((newcap - canvas.shape[0], S, S), jnp.int8)
+            return jnp.concatenate([canvas, pad])
+
+        def append_rows(buf, rows, n0):  # generic [cap, ...] f32 mirror
+            start = (n0,) + (0,) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, rows, start)
+
+        def grow_rows(buf, newcap):
+            pad = jnp.zeros(
+                (newcap - buf.shape[0],) + buf.shape[1:], buf.dtype
+            )
+            return jnp.concatenate([buf, pad])
+
+        _DEV = dict(
+            widen_flat=jax.jit(widen_flat),
+            to_canvas=jax.jit(to_canvas, static_argnames=("S",)),
+            append_flat=jax.jit(append_flat, donate_argnums=(0,)),
+            append_canvas=jax.jit(append_canvas, donate_argnums=(0,)),
+            compact_flat=jax.jit(compact_flat),
+            compact_canvas=jax.jit(compact_canvas),
+            grow_flat=jax.jit(grow_flat, static_argnames=("newlen",)),
+            grow_canvas=jax.jit(grow_canvas, static_argnames=("newcap",)),
+            append_rows=jax.jit(append_rows, donate_argnums=(0,)),
+            compact_rows=jax.jit(compact_canvas),  # same row-gather
+            grow_rows=jax.jit(grow_rows, static_argnames=("newcap",)),
+        )
+    return _DEV
+
+
+_DEV = None
+
+
+# ---------------------------------------------------------------------------
 # Similarity transform (STParameter, data.cpp:64-126)
 # ---------------------------------------------------------------------------
 
@@ -141,6 +233,12 @@ class DataSet:
         self.live = np.zeros(0, bool)
         self._flat_dev = None
         self._flat_cap = -1
+        self._canvas_dev = None
+        self._canvas_cap = -1
+        self._shapes_dev = None  # [cap, 2L] f32 current_shapes mirror
+        self._shapes_cap = -1
+        self._stp_dev = None  # [cap, 2, 2] f32 stp_mc mirror (ST configs)
+        self._stp_cap = -1
         self.device_sharding = None  # set by a mesh-bound Trainer
 
     @property
@@ -155,20 +253,95 @@ class DataSet:
 
     def invalidate(self):
         self._flat_dev = None
+        self._canvas_dev = None
+        self.invalidate_shapes()
+
+    def _mirror_cap(self) -> int:
+        """Unified row capacity for ALL device mirrors of this corpus.
+        The fused cart trainer feeds several mirrors into one jit, so
+        their leading dimensions must agree even when one was (re)built
+        after another grew."""
+        return max(
+            _pow2(len(self.imgs)),
+            self._flat_cap,
+            self._canvas_cap,
+            self._shapes_cap,
+            self._stp_cap,
+        )
+
+    def invalidate_shapes(self):
+        """Drop the per-sample shape-state mirrors.  Must be called after
+        any host mutation of current_shapes/stp_mc that is not an append
+        or a compaction (global regression, snapshot load)."""
+        self._shapes_dev = None
+        self._stp_dev = None
+
+    def shapes_dev(self):
+        """[cap, 2L] f32 device mirror of current_shapes, maintained
+        through appends/compactions like the pixel mirrors.  Within a
+        stage the positives' shapes never change and the negatives' only
+        grow, so the fused cart trainer reads them without re-upload."""
+        import jax.numpy as jnp
+
+        cap = self._mirror_cap()
+        if self._shapes_dev is None or self._shapes_cap < cap:
+            buf = np.zeros((cap, self.c.landmark_dim), np.float32)
+            buf[: len(self.imgs)] = self.current_shapes
+            self._shapes_dev = jnp.asarray(buf)
+            self._shapes_cap = cap
+        return self._shapes_dev
+
+    def stp_dev(self):
+        """[cap, 2, 2] f32 device mirror of stp_mc (None when similarity
+        transforms are disabled — the shipped configs)."""
+        import jax.numpy as jnp
+
+        if not self.c.with_similarity_transform:
+            return None
+        cap = self._mirror_cap()
+        if self._stp_dev is None or self._stp_cap < cap:
+            buf = np.zeros((cap, 2, 2), np.float32)
+            buf[: len(self.imgs)] = self.stp_mc
+            self._stp_dev = jnp.asarray(buf)
+            self._stp_cap = cap
+        return self._stp_dev
+
+    def canvas_dev(self):
+        """Device mirror of the ORIGIN-scale patches as [cap, S, S] int8
+        (pixel - 128) for the gather-free MXU feature extractor
+        (train/features.py feature_values_mxu); the -128 shift cancels in
+        the pixel difference, so values are bit-identical to flat_dev
+        gathers.  Same power-of-two row-capacity scheme as flat_dev;
+        mined-row appends and compactions maintain it ON DEVICE
+        (_dev_append/_dev_compact) — no corpus re-upload."""
+        import jax.numpy as jnp
+
+        cap = self._mirror_cap()
+        if self._canvas_dev is None or self._canvas_cap < cap:
+            S = self.dims[0]
+            buf = np.zeros((cap, S * S), np.uint8)
+            buf[: len(self.imgs)] = self.imgs[:, : S * S]
+            arr = _dev_fns()["to_canvas"](jnp.asarray(buf), S=S)
+            if getattr(self, "device_sharding", None) is not None:
+                import jax
+
+                arr = jax.device_put(arr, self.device_sharding)
+            self._canvas_dev = arr
+            self._canvas_cap = cap
+        return self._canvas_dev
 
     def flat_dev(self):
         """Device mirror of the corpus, padded to a power-of-two row
-        capacity so removals don't change the compiled buffer shape (and
-        only capacity jumps re-upload)."""
+        capacity so removals don't change the compiled buffer shape.  Rows
+        cross the relay as uint8 and widen to int32 on device; appends and
+        compactions update the resident buffer in place."""
         import jax.numpy as jnp
 
-        cap = 64
-        while cap < len(self.imgs):
-            cap *= 2
-        if self._flat_dev is None or self._flat_cap != cap:
-            buf = np.zeros((cap, self.D), np.int32)
+        cap = self._mirror_cap()
+        if self._flat_dev is None or self._flat_cap < cap:
+            buf = np.zeros((cap, self.D), np.uint8)
             buf[: len(self.imgs)] = self.imgs
-            arr = jnp.asarray(buf.reshape(-1))
+            arr = _dev_fns()["widen_flat"](jnp.asarray(buf))
             if getattr(self, "device_sharding", None) is not None:
                 # multi-chip training: the corpus buffer is replicated so
                 # every chip's feature gathers stay local (train/sharded.py)
@@ -178,6 +351,104 @@ class DataSet:
             self._flat_dev = arr
             self._flat_cap = cap
         return self._flat_dev
+
+    def _dev_append(
+        self,
+        rows_u8: np.ndarray,
+        n0: int,
+        shapes: Optional[np.ndarray] = None,
+    ) -> None:
+        """Mirror an append of `rows_u8` (and their current shapes) at
+        physical row n0 onto any live device buffers (mesh-sharded mirrors
+        rebuild lazily instead)."""
+        if len(rows_u8) == 0:
+            return
+        if getattr(self, "device_sharding", None) is not None:
+            self.invalidate()
+            return
+        import jax.numpy as jnp
+
+        m = len(rows_u8)
+        mb = _pow2(m)  # pad the upload so batch sizes share compilations
+        # capacity must cover the PADDED write window: dynamic_update_slice
+        # clamps an out-of-range start, which would shift the write onto
+        # valid rows.  One shared capacity across mirrors (see _mirror_cap)
+        need = max(_pow2(n0 + mb), self._mirror_cap())
+        fns = _dev_fns()
+        if self._flat_dev is not None:
+            newcap = max(need, self._flat_cap)
+            if newcap != self._flat_cap:
+                self._flat_dev = fns["grow_flat"](
+                    self._flat_dev, newlen=newcap * self.D
+                )
+                self._flat_cap = newcap
+            pad = np.zeros((mb, self.D), np.uint8)
+            pad[:m] = rows_u8
+            self._flat_dev = fns["append_flat"](
+                self._flat_dev, jnp.asarray(pad), n0
+            )
+        if self._canvas_dev is not None:
+            S = self.dims[0]
+            newcap = max(need, self._canvas_cap)
+            if newcap != self._canvas_cap:
+                self._canvas_dev = fns["grow_canvas"](
+                    self._canvas_dev, newcap=newcap
+                )
+                self._canvas_cap = newcap
+            pad = np.zeros((mb, S * S), np.uint8)
+            pad[:m] = rows_u8[:, : S * S]
+            self._canvas_dev = fns["append_canvas"](
+                self._canvas_dev, jnp.asarray(pad), n0
+            )
+        if self._shapes_dev is not None and shapes is not None:
+            newcap = max(need, self._shapes_cap)
+            if newcap != self._shapes_cap:
+                self._shapes_dev = fns["grow_rows"](
+                    self._shapes_dev, newcap=newcap
+                )
+                self._shapes_cap = newcap
+            pad = np.zeros((mb, shapes.shape[1]), np.float32)
+            pad[:m] = shapes
+            self._shapes_dev = fns["append_rows"](
+                self._shapes_dev, jnp.asarray(pad), n0
+            )
+        elif shapes is None:
+            self._shapes_dev = None
+        # calc_st_parameters recomputes EVERY row's stp after an append, so
+        # the stp mirror cannot be updated incrementally
+        self._stp_dev = None
+
+    def _dev_compact(self, keep_idx: np.ndarray) -> None:
+        """Mirror a host compaction (imgs = imgs[keep_idx]) on device."""
+        if getattr(self, "device_sharding", None) is not None:
+            self.invalidate()
+            return
+        import jax.numpy as jnp
+
+        fns = _dev_fns()
+        if self._flat_dev is not None:
+            idxp = np.zeros(self._flat_cap, np.int32)
+            idxp[: len(keep_idx)] = keep_idx
+            self._flat_dev = fns["compact_flat"](
+                self._flat_dev, jnp.asarray(idxp)
+            )
+        if self._canvas_dev is not None:
+            idxp = np.zeros(self._canvas_cap, np.int32)
+            idxp[: len(keep_idx)] = keep_idx
+            self._canvas_dev = fns["compact_canvas"](
+                self._canvas_dev, jnp.asarray(idxp)
+            )
+        for attr, cap_attr in (
+            ("_shapes_dev", "_shapes_cap"),
+            ("_stp_dev", "_stp_cap"),
+        ):
+            buf = getattr(self, attr)
+            if buf is not None:
+                idxp = np.zeros(getattr(self, cap_attr), np.int32)
+                idxp[: len(keep_idx)] = keep_idx
+                setattr(
+                    self, attr, fns["compact_rows"](buf, jnp.asarray(idxp))
+                )
 
     # -- loading ------------------------------------------------------------
 
@@ -266,8 +537,16 @@ class DataSet:
         pos.update_weights_local()
         neg.update_weights_local()
         total = pos.weights[pos.live].sum() + neg.weights[neg.live].sum()
-        pos.weights[pos.live] /= total
-        neg.weights[neg.live] /= total
+        if not np.isfinite(total) or total <= 0.0:
+            # degenerate pools (exp under/overflow after one side emptied):
+            # uniform weights keep the boosting state finite instead of
+            # poisoning every sample with NaN
+            n_live = pos.size + neg.size
+            pos.weights[pos.live] = 1.0 / max(n_live, 1)
+            neg.weights[neg.live] = 1.0 / max(n_live, 1)
+        else:
+            pos.weights[pos.live] /= total
+            neg.weights[neg.live] /= total
         pos.weights[~pos.live] = 0.0
         neg.weights[~neg.live] = 0.0
 
@@ -296,6 +575,8 @@ class DataSet:
 
     def compact(self) -> None:
         keep = self.live
+        keep_idx = np.flatnonzero(keep).astype(np.int32)
+        self._dev_compact(keep_idx)
         self.imgs = self.imgs[keep]
         if self.is_pos:
             self.gt_shapes = self.gt_shapes[keep]
@@ -307,7 +588,6 @@ class DataSet:
         self.stp_mc = self.stp_mc[keep]
         self.stp_cm = self.stp_cm[keep]
         self.live = np.ones(len(self.imgs), bool)
-        self.invalidate()
 
     def reset_scores(self):
         self.scores = self.last_scores.copy()
@@ -345,6 +625,11 @@ class DataSet:
         their cascade score and partially-regressed shape."""
         assert not self.is_pos
         m = len(rows)
+        self._dev_append(
+            rows.astype(np.uint8),
+            len(self.imgs),
+            shapes=shapes.astype(np.float32),
+        )
         self.imgs = np.concatenate([self.imgs, rows.astype(np.uint8)])
         self.current_shapes = np.concatenate([self.current_shapes, shapes])
         self.scores = np.concatenate([self.scores, scores])
@@ -354,7 +639,6 @@ class DataSet:
         self.stp_cm = np.concatenate([self.stp_cm, st_identity(m)])
         self.live = np.concatenate([self.live, np.ones(m, bool)])
         self.calc_st_parameters(mean_shape)
-        self.invalidate()
 
     # -- binary snapshot, bit-compatible with writeDataSet/readDataSet -------
 
@@ -444,6 +728,10 @@ class _ScanState:
     reset: int = 0
     hd_idx: int = 0
     bg_img: Optional[np.ndarray] = None
+    bg_ver: int = 0  # bumped on every bg_img change (device-miner cache key)
+    rng: Optional[np.random.Generator] = None  # per-state stream (like the
+    # reference's per-thread cv::RNGs, common.cpp:233-238) so the window
+    # stream is invariant to how states are interleaved into batches
 
 
 class NegGenerator:
@@ -524,14 +812,33 @@ class NegGenerator:
         self._loader = lambda p: self._mem[int(p[5:-1])]
         self._init_states(rng)
 
+    def load_factory(
+        self,
+        factory: Callable[[int], np.ndarray],
+        rng: np.random.Generator,
+        virtual_n: int = 65536,
+    ) -> None:
+        """Unbounded background supply: image i is `factory(i)` (must be
+        deterministic per index), generated lazily with a small LRU so the
+        scan states can wrap a virtually-infinite list.  Stands in for the
+        reference's large on-disk background corpora (nega/*.txt lists,
+        data.cpp:1067-1196) in environments that generate data."""
+        import functools
+
+        self.list = [f"<gen:{i}>" for i in range(virtual_n)]
+        cached = functools.lru_cache(maxsize=1024)(factory)
+        self._loader = lambda p: cached(int(p[5:-1]))
+        self._init_states(rng)
+
     def _init_states(self, rng: np.random.Generator) -> None:
         c = self.c
         self.states = []
         for i in range(self.n_states):
             s = _ScanState(current_idx=i % max(len(self.list), 1))
+            s.rng = np.random.default_rng(rng.integers(2**63))
             s.win_size = c.img_o_size
-            s.factor = rng.uniform(1.1, 1.5)
-            s.step = int(rng.integers(2, c.img_q_size))
+            s.factor = s.rng.uniform(1.1, 1.5)
+            s.step = int(s.rng.integers(2, c.img_q_size))
             s.bg_img = self._loader(self.list[s.current_idx])
             s.hd_idx = i
             self.states.append(s)
@@ -558,12 +865,26 @@ class NegGenerator:
 
     def next_patch(self, sid: int) -> np.ndarray:
         """NextImage (data.cpp:885-966): one square candidate patch."""
+        kind, payload = self.next_window(sid)
+        if kind == "hard":
+            return payload
+        y, x, w = payload
+        s = self.states[sid]
+        return s.bg_img[y : y + w, x : x + w].copy()
+
+    def next_window(self, sid: int):
+        """Advance state `sid` one step; return ("hard", patch) for a
+        hard-pool entry or ("scan", (y, x, win_size)) for a window of the
+        state's CURRENT bg_img.  Factoring the coordinates out of
+        next_patch lets the device miner (train/mining.py) synthesize the
+        crop+resize on device from a resident background — same window
+        stream, no per-window host crop."""
         s = self.states[sid]
         c = self.c
         if s.hd_idx < len(self.hards):
             patch = self.hards[s.hd_idx]
             s.hd_idx += self.n_states
-            return patch
+            return "hard", patch
         s.x += s.step
         if s.x + s.win_size > s.bg_img.shape[1]:
             s.x = 0
@@ -576,8 +897,8 @@ class NegGenerator:
                     or s.win_size >= s.bg_img.shape[0]
                 ):
                     s.win_size = c.img_o_size
-                    s.factor = self._rng.uniform(1.1, 1.5)
-                    s.step = int(self._rng.integers(2, c.img_q_size))
+                    s.factor = s.rng.uniform(1.1, 1.5)
+                    s.step = int(s.rng.integers(2, c.img_q_size))
                     # NOTE: the reference's advance loop (data.cpp:913-925)
                     # never loads an image on the wraparound iteration, so
                     # it spins forever when list size <= thread stride; we
@@ -595,14 +916,13 @@ class NegGenerator:
                             and img.shape[0] > s.win_size
                         ):
                             s.bg_img = self._transform(img, s.transform_type)
+                            s.bg_ver += 1
                             break
                     else:
                         raise RuntimeError(
                             "no background image larger than the scan window"
                         )
-        return s.bg_img[
-            s.y : s.y + s.win_size, s.x : s.x + s.win_size
-        ].copy()
+        return "scan", (s.y, s.x, s.win_size)
 
     def report_bg_used(self) -> int:
         base = max(len(self.list), 1) // self.n_states

@@ -280,49 +280,64 @@ class Detector:
         )
 
     def _fused_plan(self, B, Hc, Wc, scale, min_size, max_size_c) -> dict:
-        """Static plan (window tables + compiled program) per geometry."""
-        use_pallas = self._dense_pallas_enabled()
-        key = (B, Hc, Wc, float(scale), min_size, max_size_c, use_pallas)
+        """Static plan (window tables + compiled program) for the C-API
+        window ladder (jdaDetect semantics, truncation)."""
+        key = ("c", B, Hc, Wc, float(scale), min_size, max_size_c)
         plan = self._fused_cache.get(key)
         if plan is None:
             x, y, win, scales = enumerate_windows(
                 Wc, Hc, scale, min_size, max_size_c
             )
-            tabs = []
-            for w_, s_, _, _ in scales:
-                tkey = (w_, s_, False)
-                if tkey not in self._tab_cache:
-                    self._tab_cache[tkey] = D0.node_tables(
-                        self._ms32, self._host_stage0, w_, s_
-                    )
-                tabs.append(self._tab_cache[tkey])
-            tabs_dev = tuple(
-                {k: jnp.asarray(v) for k, v in t.items()} for t in tabs
+            plan = self._fused_plan_windows(
+                key, B, Hc, Wc, x, y, win, scales, rounding=False
             )
-            if use_pallas:
-                tabs_dev = D0.mixed_tables(tabs, scales, self.params.node_n)
-            # budgets self-tune upward on overflow (the program returns
-            # true per-compaction counts)
-            budgets = F.default_budgets(len(x), B, self.T, self.K)
-            plan = {
-                "x": x,
-                "y": y,
-                "win": win,
-                "scales": tuple(scales),
-                "xywin": jnp.asarray(
-                    np.stack([x, y, win], axis=1).astype(np.int32)
+        return self._fused_compile(plan)
+
+    def _fused_plan_windows(
+        self, key, B, Hc, Wc, x, y, win, scales, rounding: bool
+    ) -> dict:
+        """Build + cache a fused plan from an explicit window ladder (used
+        by both the C-API ladder and the fddb method-1 ladder)."""
+        use_pallas = self._dense_pallas_enabled()
+        tabs = []
+        for w_, s_, _, _ in scales:
+            tkey = (w_, s_, rounding)
+            if tkey not in self._tab_cache:
+                self._tab_cache[tkey] = D0.node_tables(
+                    self._ms32, self._host_stage0, w_, s_, rounding=rounding
                 )
-                if len(x)
-                else None,
-                "tabs": tabs_dev,
-                "budgets": budgets,
-                "use_pallas": use_pallas,
-                "fn": None,
-                "n": len(x),
-                "Hc": Hc,
-                "Wc": Wc,
-            }
-            self._fused_cache[key] = plan
+            tabs.append(self._tab_cache[tkey])
+        tabs_dev = tuple(
+            {k: jnp.asarray(v) for k, v in t.items()} for t in tabs
+        )
+        if use_pallas:
+            tabs_dev = D0.mixed_tables(tabs, scales, self.params.node_n)
+        # budgets self-tune upward on overflow (the program returns
+        # true per-compaction counts)
+        budgets = F.default_budgets(len(x), B, self.T, self.K)
+        plan = {
+            "x": x,
+            "y": y,
+            "win": win,
+            "scales": tuple(scales),
+            "xywin": jnp.asarray(
+                np.stack([x, y, win], axis=1).astype(np.int32)
+            )
+            if len(x)
+            else None,
+            "tabs": tabs_dev,
+            "budgets": budgets,
+            "use_pallas": use_pallas,
+            "rounding": rounding,
+            "fn": None,
+            "n": len(x),
+            "Hc": Hc,
+            "Wc": Wc,
+        }
+        self._fused_cache[key] = plan
+        return plan
+
+    def _fused_compile(self, plan: dict) -> dict:
         if plan["fn"] is None and plan["n"] > 0:
             plan["fn"] = F.make_fused_fn(
                 meta=plan["scales"],
@@ -333,6 +348,7 @@ class Detector:
                 W=plan["Wc"],
                 budgets=plan["budgets"],
                 use_pallas=plan["use_pallas"],
+                rounding=plan["rounding"],
             )
         return plan
 
@@ -371,16 +387,8 @@ class Detector:
                 else b
                 for i, b in enumerate(budgets)
             )
-            plan["fn"] = F.make_fused_fn(
-                meta=plan["scales"],
-                depth=self.depth,
-                leaf_n=self.leaf_n,
-                T=self.T,
-                H=plan["Hc"],
-                W=plan["Wc"],
-                budgets=plan["budgets"],
-                use_pallas=plan["use_pallas"],
-            )
+            plan["fn"] = None
+            self._fused_compile(plan)
 
     # -- core batched evaluation ------------------------------------------
 

@@ -91,17 +91,47 @@ def run_fddb(
                 gt = read_ellipses(c.fddb_dir, i)
             except OSError:
                 gt = {}
+        # load the fold up front; images are the device batch axis (the
+        # reference parallelizes the FOLD loop with OpenMP, test.cpp:100;
+        # here each batch of images shares one fused cascade dispatch)
+        loaded = []
         for path in read_fold(c.fddb_dir, i):
             full = os.path.join(prefix, path + ".jpg")
             img = cv2.imread(full)
             if img is None:
                 log(f"Can not open {full}, Skip it")
                 continue
-            gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            loaded.append((path, img, cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)))
+        B = int(os.environ.get("JDA_TPU_FDDB_BATCH", "8"))
+        canon = None
+        if loaded:
+            # one canonical plane size per fold keeps a single compiled plan
+            mh = max(g.shape[0] for _, _, g in loaded)
+            mw = max(g.shape[1] for _, _, g in loaded)
+            canon = (-(-mh // 128) * 128, -(-mw // 128) * 128)
+        batched_results = []
+        import numpy as _np
+
+        for b0 in range(0, len(loaded), B):
+            grays = [g for _, _, g in loaded[b0 : b0 + B]]
             t0 = time.perf_counter()
-            rects, scores, shapes, stat = det.detect(gray)
-            dt = time.perf_counter() - t0
-            t_fold += dt
+            if (
+                c.fddb_detect_method != 0
+                and det.det.single_scale
+                and det.det._fused_enabled()
+                and len(loaded) > 1
+            ):
+                # pad the tail chunk so every batch reuses one compiled plan
+                pad = B - len(grays)
+                gg = grays + [_np.zeros((1, 1), _np.uint8)] * pad
+                outs = det._detect_batch_m1(gg, canon=canon)[: len(grays)]
+            else:
+                outs = [det.detect(g) for g in grays]
+            t_fold += time.perf_counter() - t0
+            batched_results.extend(outs)
+        for (path, img, gray), (rects, scores, shapes, stat) in zip(
+            loaded, batched_results
+        ):
             n_img += 1
             fold_stat.add(stat)
             lines.append(path)

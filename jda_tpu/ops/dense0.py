@@ -386,7 +386,12 @@ _RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _resident_geom(H: int, W: int, win: int, step: int, ny: int, nx: int):
-    """Phase-plane geometry for the resident kernel (None if over budget)."""
+    """Phase-plane geometry for the resident kernel.
+
+    Returns None when the planes cannot fit VMEM even column-tiled; else a
+    geometry dict with ctile = None (whole plane resident) or the column
+    tile width (planes stay in HBM; each grid step DMAs one aligned column
+    slab into VMEM — the 1080p path, where the full plane is ~10 MB)."""
     s2 = step * step
     ny8 = -(-ny // 8) * 8
     nx128 = -(-nx // 128) * 128
@@ -396,9 +401,23 @@ def _resident_geom(H: int, W: int, win: int, step: int, ny: int, nx: int):
     Hp = -(-Hp // 8) * 8
     Wp = max(-(-W // step), umax + nx128)
     Wp = -(-Wp // 128) * 128
-    if s2 * Hp * Wp * 4 > _RESIDENT_VMEM_BUDGET:
-        return None
-    return dict(s2=s2, ny8=ny8, nx128=nx128, umax=umax, NYB=NYB, Hp=Hp, Wp=Wp)
+    geom = dict(
+        s2=s2, ny8=ny8, nx128=nx128, umax=umax, NYB=NYB, Hp=Hp, Wp=Wp,
+        ctile=None,
+    )
+    if s2 * Hp * Wp * 4 <= _RESIDENT_VMEM_BUDGET:
+        return geom
+    for nxt in (512, 256, 128):
+        if nxt >= nx128:
+            continue
+        if s2 * Hp * (nxt + 128) * 4 <= _RESIDENT_VMEM_BUDGET:
+            geom["ctile"] = nxt
+            n_ct = -(-nx128 // nxt)
+            # every tile's DMA slab [j*nxt, j*nxt + nxt + 128) must be in
+            # range, including the rounded-up last tile
+            geom["Wp"] = max(Wp, n_ct * nxt + 128)
+            return geom
+    return None
 
 
 def _scale_filter_pallas_resident(
@@ -523,6 +542,146 @@ def _scale_filter_pallas_resident(
     )
 
 
+def _scale_filter_pallas_tiled(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabi: jnp.ndarray,
+    tabf: jnp.ndarray,
+    *,
+    step: int,
+    ny: int,
+    nx: int,
+    depth: int,
+    geom: dict,
+):
+    """Column-tiled variant of the resident kernel: phase planes stay in
+    HBM and every grid step (b, j) DMAs one 128-aligned column slab of all
+    s^2 planes into VMEM, then runs the full in-kernel cart loop on it.
+    This serves grids whose full planes exceed VMEM (1080p scale-0 is
+    ~10 MB); the DMA is once per tile, not per cart, so the crop loop stays
+    VMEM-speed."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = img.shape[0]
+    K = tabi.shape[0]
+    node_n = (1 << (depth - 1)) - 1
+    leaf_n = node_n + 1
+    ny8, nx128 = geom["ny8"], geom["nx128"]
+    NYB = geom["NYB"]
+    Hp, Wp = geom["Hp"], geom["Wp"]
+    s2 = geom["s2"]
+    NXT = geom["ctile"]
+    WT = NXT + 128  # lane headroom: crop offset v <= umax < 128
+    n_ct = -(-nx128 // NXT)
+    ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+
+    def kernel(tabi_ref, tabf_ref, ph_hbm, score_ref, alive_ref, nvis_ref,
+               tile, sem):
+        j = pl.program_id(1)
+        # one DMA per grid step: all planes' column slab [s2, Hp, WT]
+        pltpu.make_async_copy(
+            ph_hbm.at[0, :, :, pl.ds(j * NXT, WT)], tile, sem
+        ).start()
+
+        score_ref[0] = jnp.zeros((ny8, NXT), jnp.float32)
+        alive_ref[0] = jnp.ones((ny8, NXT), jnp.int32)
+        nvis_ref[0] = jnp.zeros((ny8, NXT), jnp.int32)
+        pltpu.make_async_copy(
+            ph_hbm.at[0, :, :, pl.ds(j * NXT, WT)], tile, sem
+        ).wait()
+
+        def crop(k, o):
+            pi = tabi_ref[k, o]
+            u = tabi_ref[k, o + 1]
+            v = tabi_ref[k, o + 2]
+            u_al = pl.multiple_of((u // 8) * 8, 8)
+            buf = tile[pi, pl.ds(u_al, NYB), :]  # [NYB, WT]
+            ru = u - u_al
+            rows = pltpu.roll(buf, (NYB - ru) % NYB, 0)[:ny8, :]
+            return pltpu.roll(rows, (WT - v) % WT, 1)[:, :NXT]
+
+        def bit_sel(planes, bits_i32):
+            if not bits_i32:
+                return planes[0]
+            half = len(planes) // 2
+            return jnp.where(
+                bits_i32[0] != 0,
+                bit_sel(planes[half:], bits_i32[1:]),
+                bit_sel(planes[:half], bits_i32[1:]),
+            )
+
+        def cart_body(k, _):
+            s = score_ref[0]
+            al = alive_ref[0]
+            vals = [crop(k, 6 * jj) - crop(k, 6 * jj + 3) for jj in range(node_n)]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    (vals[jj] > tabi_ref[k, 6 * node_n + jj]).astype(jnp.int32)
+                    for jj in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(bit_sel(planes, bits))
+            leaf_planes = [
+                jnp.full((ny8, NXT), tabf_ref[k, jj], jnp.float32)
+                for jj in range(leaf_n)
+            ]
+            b = bit_sel(leaf_planes, bits)
+            alb = al != 0
+            s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
+            s = jnp.where(alb, s_new, s)
+            score_ref[0] = s
+            nvis_ref[0] = nvis_ref[0] + al
+            alive_ref[0] = jnp.where(
+                alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, K, cart_body, 0)
+
+    score, alive, nvis = pl.pallas_call(
+        kernel,
+        grid=(B, n_ct),
+        in_specs=[
+            pl.BlockSpec(
+                tabi.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                tabf.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, s2, Hp, Wp),
+                lambda b, j: (b, 0, 0, 0),
+                memory_space=pltpu.MemorySpace.HBM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.float32),
+            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
+            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s2, Hp, WT), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(tabi, tabf, ph)
+    return (
+        score[:, :ny, :nx],
+        alive[:, :ny, :nx] != 0,
+        nvis[:, :ny, :nx],
+    )
+
+
 def mixed_tables(
     tabs, scales, node_n: int
 ):
@@ -552,7 +711,18 @@ def stage0_filter_mixed(
     scores, alives, nviss = [], [], []
     for (win, step, ny, nx), tab in zip(meta, tabs):
         geom = _resident_geom(H, W, win, step, ny, nx)
-        if geom is not None:
+        if geom is not None and geom["ctile"] is not None:
+            s, a, nv = _scale_filter_pallas_tiled(
+                img,
+                tab["tabi"],
+                tab["tabf"],
+                step=step,
+                ny=ny,
+                nx=nx,
+                depth=depth,
+                geom=geom,
+            )
+        elif geom is not None:
             s, a, nv = _scale_filter_pallas_resident(
                 img,
                 tab["tabi"],

@@ -78,10 +78,17 @@ def default_budgets(n_windows: int, B: int, T: int, K: int) -> Tuple[int, ...]:
     pass, ~2/3 attrition per compaction point); the fused program reports
     true counts so callers double any overflowed entry and recompile.
     """
-    s0 = max(1024, -(-n_windows * B // 192) // 512 * 512)
+    total = n_windows * B
+    split = K > 2 * STAGE_SPLIT
+    if total <= 4096:
+        # small problems (tests, tiny frames): full-capacity lanes — no
+        # compaction benefit and no overflow recompiles, one compile ever
+        n_entries = 1 + (T - 1) * (2 if split else 1) - (1 if T > 1 else 0)
+        cap = -(-total // 256) * 256
+        return tuple([cap] * max(n_entries, 1))
+    s0 = max(1024, -(-total // 192) // 512 * 512)
     out = [s0]
     cur = s0
-    split = K > 2 * STAGE_SPLIT
     for t in range(1, T):
         if split:
             cur = max(512, -(-cur * 5 // 8) // 256 * 256)
@@ -104,6 +111,7 @@ def make_fused_fn(
     # stage 1); budgets[t] = lanes kept after stage t's rejections, t in
     # [1, T-2].  Need not be powers of two — any static size compiles.
     use_pallas: bool = False,
+    rounding: bool = False,  # False = C trunc (jdaDetect), True = C++ round
 ):
     """Build the fused program for one static geometry.  The returned fn is
     jit-compiled on first call; all dynamic data (model, images, window
@@ -168,7 +176,7 @@ def make_fused_fn(
         # -- 3. stage-0 leaf rerun (descent only; dense already scored) ------
         sp0 = C.stage_params(dev, 0)
         leaves0, _ = C.carts_descend(
-            sp0, flat_img, state, depth=depth, rounding=False, single_scale=True
+            sp0, flat_img, state, depth=depth, rounding=rounding, single_scale=True
         )
         state = C.apply_regression(dev["W"][0], leaves0, state, leaf_n=leaf_n)
 
@@ -208,7 +216,7 @@ def make_fused_fn(
                     flat_img,
                     state,
                     depth=depth,
-                    rounding=False,
+                    rounding=rounding,
                     single_scale=True,
                 )
                 state, sel_global, total_nvis, cnt, leavesA = do_compact(
@@ -221,7 +229,7 @@ def make_fused_fn(
                     flat_img,
                     state,
                     depth=depth,
-                    rounding=False,
+                    rounding=rounding,
                     single_scale=True,
                 )
                 leaves = jnp.concatenate([leavesA, leavesB], axis=1)
@@ -231,7 +239,7 @@ def make_fused_fn(
                     flat_img,
                     state,
                     depth=depth,
-                    rounding=False,
+                    rounding=rounding,
                     single_scale=True,
                 )
             state = C.apply_regression(dev["W"][t], leaves, state, leaf_n=leaf_n)

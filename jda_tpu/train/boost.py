@@ -20,6 +20,7 @@ per-thread cv::RNGs are nondeterministic by design; SURVEY.md §2 P7).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Callable, Dict, List, Optional, Tuple
@@ -46,6 +47,132 @@ def _bucket(n: int, minimum: int = 64) -> int:
 
 
 _featvals_jit = jax.jit(FT.feature_values)
+_widen_rows_jit = jax.jit(lambda r: r.astype(jnp.int32).reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _cart_fused_jit(
+    canvas_p, shapes_p, stp_p, w_p, live_p,
+    canvas_n, shapes_n, stp_n, w_n, live_n,
+    resid_all, hasgt_all, pools, clsflags, us,
+    *, depth: int,
+):
+    """An ENTIRE cart's split search in one dispatch: the 7-node DFS of
+    Cart::Train (cart.cpp:41-162) runs on device over the resident corpus
+    mirrors, with node membership tracked as boolean masks instead of
+    gathered index subsets — so every node sees the same static [cap, F]
+    shapes (one compilation, ever) and no per-node host round-trips.
+
+    Per node: MXU feature extraction over ALL rows (masked rows cost
+    compute but keep shapes static — a subtree level is <= 3x the work of
+    its live rows), then a lax.cond between the classification and
+    regression split searches (the flag is the reference's per-node coin,
+    cart.cpp:72-77).  Children masks derive from the winning feature's
+    value column.  Returns per-node (feature, threshold) and each
+    sample's leaf assignment; leaf SCORES are computed on host in f64
+    from the returned assignments (exact log-ratio semantics,
+    cart.cpp:164-174)."""
+    node_n = (1 << (depth - 1)) - 1
+    leaf_base = 1 << (depth - 1)
+    F = pools["lmk1"].shape[1]
+    masks_p = {1: live_p}
+    masks_n = {1: live_n}
+    f_list, th_list = [], []
+    for node in range(1, node_n + 1):
+        pool = {
+            k: pools[k][node - 1] for k in ("lmk1", "lmk2", "off1", "off2")
+        }
+        vp = FT.feature_values_mxu(canvas_p, shapes_p, pool, stp_p)
+        vn = FT.feature_values_mxu(canvas_n, shapes_n, pool, stp_n)
+        validp = masks_p[node]
+        validn = masks_n[node]
+
+        def cls(_):
+            wp = jnp.where(validp, w_p, 0.0)
+            wn = jnp.where(validn, w_n, 0.0)
+            f, th, _ = SP.classification_split(
+                vp, wp, validp, vn, wn, validn
+            )
+            return f.astype(jnp.int32), th.astype(jnp.int32)
+
+        def reg(_):
+            hg = hasgt_all & validp
+            f, th, _ = SP.regression_split(
+                vp, resid_all, hg, validp, us[node - 1]
+            )
+            return f.astype(jnp.int32), th.astype(jnp.int32)
+
+        f_idx, th = jax.lax.cond(clsflags[node - 1], cls, reg, None)
+        both_empty = (
+            jnp.sum(validp.astype(jnp.int32))
+            + jnp.sum(validn.astype(jnp.int32))
+        ) == 0
+        f_idx = jnp.where(both_empty, 0, f_idx)
+        th = jnp.where(both_empty, jnp.int32(-256), th)
+        oh = (jnp.arange(F, dtype=jnp.int32) == f_idx).astype(jnp.float32)
+        # values fit in [-255, 255]: the f32 one-hot contraction is exact
+        vpc = jnp.einsum("mf,f->m", vp.astype(jnp.float32), oh).astype(
+            jnp.int32
+        )
+        vnc = jnp.einsum("mf,f->m", vn.astype(jnp.float32), oh).astype(
+            jnp.int32
+        )
+        masks_p[2 * node] = validp & (vpc <= th)
+        masks_p[2 * node + 1] = validp & (vpc > th)
+        masks_n[2 * node] = validn & (vnc <= th)
+        masks_n[2 * node + 1] = validn & (vnc > th)
+        f_list.append(f_idx)
+        th_list.append(th)
+    leaf_p = sum(
+        li * masks_p[leaf_base + li].astype(jnp.int32)
+        for li in range(leaf_base)
+    )
+    leaf_n = sum(
+        li * masks_n[leaf_base + li].astype(jnp.int32)
+        for li in range(leaf_base)
+    )
+    return jnp.stack(f_list), jnp.stack(th_list), leaf_p, leaf_n
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _descend_canvas_jit(canvas, shapes_all, stp_all, idxp, chunk, *, depth):
+    """Wide descent of a cart chunk over corpus rows with MXU feature
+    extraction — bit-identical to carts_descend's flat-gather path (same
+    round/clip arithmetic, train/features.py feature_values_mxu) but with
+    zero pixel gathers.  Returns (leaves [b, C], leaf score b [b, C])."""
+    C_, node_n = chunk["feat_th"].shape
+    cp = jnp.take(canvas, idxp, axis=0)
+    sp = jnp.take(shapes_all, idxp, axis=0)
+    stp = jnp.take(stp_all, idxp, axis=0) if stp_all is not None else None
+    pool = {
+        "lmk1": chunk["lmk1"].reshape(-1),
+        "lmk2": chunk["lmk2"].reshape(-1),
+        "off1": chunk["off1"].reshape(-1, 2),
+        "off2": chunk["off2"].reshape(-1, 2),
+    }
+    v = FT.feature_values_mxu(cp, sp, pool, stp).reshape(-1, C_, node_n)
+    bits = []
+    for r in range(depth - 1):
+        nodes = range((1 << r) - 1, (1 << (r + 1)) - 1)
+        vv = C._bit_select([v[:, :, j] for j in nodes], bits)
+        th = C._bit_select(
+            [
+                jnp.broadcast_to(chunk["feat_th"][:, j][None, :], vv.shape)
+                for j in nodes
+            ],
+            bits,
+        )
+        bits.append(vv > th)
+    leaves = sum(
+        b.astype(jnp.int32) << (depth - 2 - i) for i, b in enumerate(bits)
+    )
+    ls = chunk["leaf_scores"]
+    leaf_planes = [
+        jnp.broadcast_to(ls[:, j][None, :], leaves.shape)
+        for j in range(1 << (depth - 1))
+    ]
+    b = C._bit_select(leaf_planes, bits)
+    return leaves, b
 _descend_jit = jax.jit(
     C.carts_descend, static_argnames=("depth", "rounding", "single_scale")
 )
@@ -98,6 +225,8 @@ class Trainer:
         self.neg_gen = NegGenerator(c)
         self.single_scale = not c.multi_scale
         self.mining_max_batches = 2000
+        self.mining_batch = 2048  # windows per validation dispatch
+        self._miner = None  # lazy DeviceMiner (train/mining.py)
         self.verbose = False  # per-cart score-density graphs (btcart.cpp:19-102)
         self.snapshot_dir: Optional[str] = None
         self.stats: Dict = {"stages": []}
@@ -126,6 +255,7 @@ class Trainer:
         gt_shapes: np.ndarray,  # [N, 2L]
         neg_images: List[np.ndarray],
         shape_mask: Optional[np.ndarray] = None,
+        neg_factory: Optional[Callable[[int], np.ndarray]] = None,
     ) -> None:
         """Inject an in-memory corpus (tests, embedding)."""
         p = self.pos
@@ -149,7 +279,10 @@ class Trainer:
         p.stp_cm = st_identity(n)
         p.live = np.ones(n, bool)
         p.invalidate()
-        self.neg_gen.load_images(neg_images, self.rng)
+        if neg_factory is not None:
+            self.neg_gen.load_factory(neg_factory, self.rng)
+        else:
+            self.neg_gen.load_images(neg_images, self.rng)
         self.model.mean_shape = p.mean_shape.copy()
 
     # -- device helpers -----------------------------------------------------
@@ -202,6 +335,22 @@ class Trainer:
 
     def _descend(self, ds: DataSet, idx: np.ndarray, t: int, k0: int, k1: int):
         """leaves/leaf-scores of carts [k0, k1) on a sample subset."""
+        if self.ops is None and self.single_scale:
+            # resident-corpus MXU descent: only the index vector crosses
+            # the link (same arithmetic as the flat-gather path)
+            m = len(idx)
+            b = _bucket(max(m, 1))
+            idxp = np.zeros(b, np.int32)
+            idxp[:m] = idx
+            leaves, bscores = _descend_canvas_jit(
+                ds.canvas_dev(),
+                ds.shapes_dev(),
+                ds.stp_dev(),
+                jnp.asarray(idxp),
+                self._model_chunk(t, k0, k1),
+                depth=self.c.tree_depth,
+            )
+            return np.asarray(leaves)[:m], np.asarray(bscores)[:m]
         g, shapes, valid, stp, m, b = self._subset(ds, idx)
         if self.ops is not None:
             leaves, bscores = self.ops.descend(
@@ -239,6 +388,9 @@ class Trainer:
         c = self.c
         landmark_id = k % c.landmark_n
         leaf_base = 1 << (c.tree_depth - 1)
+        if self.single_scale and self.ops is None:
+            return self._train_cart_fused(t, k, landmark_id, leaf_base)
+        pools, clsflags, us = self._draw_cart_params(t)
 
         def split(node: int, pidx: np.ndarray, nidx: np.ndarray):
             if node >= leaf_base:
@@ -250,11 +402,9 @@ class Trainer:
                 )
                 return
 
-            pool = FT.gen_feature_pool(
-                self.rng, c.feats[t], c.landmark_n, c.radius[t], c.multi_scale
-            )
+            pool = pools[node - 1]
             pool_dev = pool.device()
-            is_classification = self.rng.uniform() < c.probs[t]
+            is_classification = bool(clsflags[node - 1])
 
             if len(pidx) == 0 and len(nidx) == 0:
                 f_idx, th = 0, -256
@@ -296,9 +446,7 @@ class Trainer:
                             np.zeros(bp - mp, bool),
                         ]
                     )
-                    u = self.rng.uniform(0.1, 0.9, c.feats[t]).astype(
-                        np.float32
-                    )
+                    u = us[node - 1]
                     f_dev, th_dev, _, vpc, vnc = self.ops.regression_split(
                         self.pos.flat_dev(), gp, sp_,
                         self.ops.shard(jnp.asarray(resid)),
@@ -350,9 +498,7 @@ class Trainer:
                             np.zeros(bp - mp, bool),
                         ]
                     )
-                    u = self.rng.uniform(0.1, 0.9, c.feats[t]).astype(
-                        np.float32
-                    )
+                    u = us[node - 1]
                     f_dev, th_dev, _ = SP.regression_split(
                         vp,
                         jnp.asarray(resid),
@@ -380,6 +526,111 @@ class Trainer:
 
         split(1, self.pos.live_idx(), self.neg.live_idx())
 
+    def _draw_cart_params(self, t: int):
+        """Per-node random draws for one cart, in heap order (node 1..7):
+        feature pool, split-type coin, regression percentile vector.  The
+        reference draws these lazily during its DFS (cart.cpp:60-77);
+        drawing them up front gives the fused single-dispatch path and the
+        mesh path identical random streams — and therefore identical
+        models — regardless of node visit order."""
+        c = self.c
+        node_n = (1 << (c.tree_depth - 1)) - 1
+        pools = []
+        clsflags = np.zeros(node_n, bool)
+        us = np.zeros((node_n, c.feats[t]), np.float32)
+        for ni in range(node_n):
+            pools.append(
+                FT.gen_feature_pool(
+                    self.rng, c.feats[t], c.landmark_n, c.radius[t],
+                    c.multi_scale,
+                )
+            )
+            clsflags[ni] = self.rng.uniform() < c.probs[t]
+            if not clsflags[ni]:
+                us[ni] = self.rng.uniform(0.1, 0.9, c.feats[t]).astype(
+                    np.float32
+                )
+        return pools, clsflags, us
+
+    def _train_cart_fused(
+        self, t: int, k: int, landmark_id: int, leaf_base: int
+    ) -> None:
+        """Single-scale cart training through _cart_fused_jit: one device
+        dispatch per cart.  Host traffic per cart: weights + live masks +
+        residuals up (~200 KB), node params + leaf assignments down."""
+        c = self.c
+        node_n = leaf_base - 1
+        capP = self.pos.canvas_dev().shape[0]
+        capN = self.neg.canvas_dev().shape[0]
+        npph = len(self.pos.imgs)
+        nnph = len(self.neg.imgs)
+        wp_all = np.zeros(capP, np.float32)
+        wp_all[:npph] = self.pos.weights
+        wn_all = np.zeros(capN, np.float32)
+        wn_all[:nnph] = self.neg.weights
+        live_p = np.zeros(capP, bool)
+        live_p[:npph] = self.pos.live
+        live_n = np.zeros(capN, bool)
+        live_n[:nnph] = self.neg.live
+        resid_all = np.zeros((capP, 2), np.float32)
+        resid_all[:npph] = self.pos.shape_residual(
+            np.arange(npph), landmark_id
+        ).astype(np.float32)
+        hasgt_all = np.zeros(capP, bool)
+        hasgt_all[:npph] = self.pos.shape_mask == 1
+        pools, clsflags, us = self._draw_cart_params(t)
+        pools_dev = {
+            "lmk1": jnp.asarray(np.stack([p.lmk1 for p in pools])),
+            "lmk2": jnp.asarray(np.stack([p.lmk2 for p in pools])),
+            "off1": jnp.asarray(
+                np.stack([p.off1 for p in pools]).astype(np.float32)
+            ),
+            "off2": jnp.asarray(
+                np.stack([p.off2 for p in pools]).astype(np.float32)
+            ),
+        }
+        f7, th7, leafp, leafn = _cart_fused_jit(
+            self.pos.canvas_dev(),
+            self.pos.shapes_dev(),
+            self.pos.stp_dev(),
+            jnp.asarray(wp_all),
+            jnp.asarray(live_p),
+            self.neg.canvas_dev(),
+            self.neg.shapes_dev(),
+            self.neg.stp_dev(),
+            jnp.asarray(wn_all),
+            jnp.asarray(live_n),
+            jnp.asarray(resid_all),
+            jnp.asarray(hasgt_all),
+            pools_dev,
+            jnp.asarray(clsflags),
+            jnp.asarray(us),
+            depth=c.tree_depth,
+        )
+        f7 = np.asarray(f7)
+        th7 = np.asarray(th7)
+        leafp = np.asarray(leafp)[:npph]
+        leafn = np.asarray(leafn)[:nnph]
+        m = self.model
+        for ni in range(node_n):
+            sc, l1, l2, o1, o2 = pools[ni].select(int(f7[ni]))
+            m.scale[t, k, ni] = sc
+            m.lmk1[t, k, ni] = l1
+            m.lmk2[t, k, ni] = l2
+            m.off1[t, k, ni] = o1
+            m.off2[t, k, ni] = o2
+            m.feat_th[t, k, ni] = int(th7[ni])
+        # exact f64 leaf scores from the device leaf assignments
+        # (cart.cpp:164-174)
+        for li in range(leaf_base):
+            pw = c.esp + self.pos.weights[
+                self.pos.live & (leafp == li)
+            ].sum()
+            nw = c.esp + self.neg.weights[
+                self.neg.live & (leafn == li)
+            ].sum()
+            m.leaf_scores[t, k, li] = 0.5 * (np.log(pw) - np.log(nw))
+
     # -- incremental scoring / LBF -----------------------------------------
 
     def update_scores(self, ds: DataSet, t: int, k: int) -> None:
@@ -398,6 +649,24 @@ class Trainer:
 
     # -- mining validation (JoinCascador::Validate, cascador.cpp:166-211) ----
 
+    def _model_chunk_padded(self, t: int, n_carts: int) -> Dict[str, jnp.ndarray]:
+        """Carts [0, n_carts) padded to a bucketed cart count with exact
+        no-op carts (leaf scores 0, mean 0, std 1, threshold -inf): the
+        score chain computes (s + 0 - 0) / 1 == s bit-exactly and never
+        rejects, so the padded chunk is arithmetically identical to the
+        unpadded one — but the COMPILED SHAPE stays fixed while the
+        training cursor advances (one compile per bucket, not per cart)."""
+        kb = min(_bucket(max(n_carts, 1)), self.c.K)
+        chunk = self._model_chunk(t, 0, kb)
+        if kb > n_carts:
+            sl = slice(n_carts, kb)
+            chunk = dict(chunk)
+            for key in ("leaf_scores", "mean"):
+                chunk[key] = chunk[key].at[sl].set(0.0)
+            chunk["std"] = chunk["std"].at[sl].set(1.0)
+            chunk["cart_th"] = chunk["cart_th"].at[sl].set(-np.inf)
+        return chunk
+
     def make_validator(self, stage: int, cart: int) -> Callable:
         """Partial-cascade batch validator for hard-negative mining.
         `stage` full stages are complete; carts [0..cart] of stage `stage`
@@ -405,40 +674,51 @@ class Trainer:
         c = self.c
         dims = (c.img_o_size, c.img_h_size, c.img_q_size)
         ms = self.model.mean_shape.astype(np.float32)
+        ms_dev = jnp.asarray(ms)
+        # model chunks hoisted out of the per-batch path (one upload per
+        # mining event, not ~10 small transfers per validate() call)
+        full_chunks = [self._model_chunk(tt, 0, c.K) for tt in range(stage)]
+        w_devs = [
+            jnp.asarray(self.model.W[tt], jnp.float32) for tt in range(stage)
+        ]
+        part_chunk = (
+            self._model_chunk_padded(stage, cart + 1) if cart >= 0 else None
+        )
+        geom_cache: Dict[int, Dict] = {}
 
-        def validate(rows: np.ndarray):
-            m = len(rows)
-            b = _bucket(m)
-            flat = np.zeros((b, rows.shape[1]), np.int32)
-            flat[:m] = rows
-            flat_dev = jnp.asarray(flat.reshape(-1))
-            geom = FT.corpus_geometry(b, dims)
-            shift = self.rng.uniform(-c.shift_size, c.shift_size, (m, 2))
-            shapes = np.tile(ms, (b, 1)).astype(np.float32)
-            shapes[:m, 0::2] += shift[:, 0:1].astype(np.float32)
-            shapes[:m, 1::2] += shift[:, 1:2].astype(np.float32)
+        def validate_dev(flat_dev, shapes_dev, valid_dev, b: int):
+            """Device-level core: flat corpus buffer, initial shapes and
+            validity mask already on device; returns device state arrays.
+            The device miner (train/mining.py) calls this directly so
+            candidate pixels never cross the host boundary."""
+            if b not in geom_cache:
+                g = FT.corpus_geometry(b, dims)
+                geom_cache[b] = {
+                    k: jnp.asarray(v) for k, v in g.items()
+                }
+            geom = geom_cache[b]
             state = C.init_state(
                 b,
-                jnp.asarray(ms),
-                jnp.asarray(geom["base"]),
-                jnp.asarray(geom["stride"]),
-                jnp.asarray(geom["pw"]),
-                jnp.asarray(geom["ph"]),
-                jnp.asarray(np.arange(b) < m),
+                ms_dev,
+                geom["base"],
+                geom["stride"],
+                geom["pw"],
+                geom["ph"],
+                valid_dev,
             )
-            state["shape"] = jnp.asarray(shapes)
+            state["shape"] = shapes_dev
             with_stp = c.with_similarity_transform
             for tt in range(stage):
                 # per-stage similarity transform from the CURRENT shapes
                 # (Validate recomputes it at each stage, cascador.cpp:180,
                 # and applies it to offsets and the delta, :184,196)
                 stp = (
-                    C.st_calc_dev(state["shape"], jnp.asarray(ms))
+                    C.st_calc_dev(state["shape"], ms_dev)
                     if with_stp
                     else None
                 )
                 state, leaves = _chunk_jit(
-                    self._model_chunk(tt, 0, c.K),
+                    full_chunks[tt],
                     flat_dev,
                     state,
                     depth=c.tree_depth,
@@ -447,20 +727,20 @@ class Trainer:
                     stp=stp,
                 )
                 state = _regress_jit(
-                    jnp.asarray(self.model.W[tt], jnp.float32),
+                    w_devs[tt],
                     leaves,
                     state,
                     leaf_n=c.leaf_n,
                     stp=stp,
                 )
-            if cart >= 0:
+            if part_chunk is not None:
                 stp = (
-                    C.st_calc_dev(state["shape"], jnp.asarray(ms))
+                    C.st_calc_dev(state["shape"], ms_dev)
                     if with_stp
                     else None
                 )
                 state, _ = _chunk_jit(
-                    self._model_chunk(stage, 0, cart + 1),
+                    part_chunk,
                     flat_dev,
                     state,
                     depth=c.tree_depth,
@@ -468,6 +748,27 @@ class Trainer:
                     single_scale=self.single_scale,
                     stp=stp,
                 )
+            return state
+
+        def validate(rows: np.ndarray, shift: Optional[np.ndarray] = None):
+            m = len(rows)
+            b = _bucket(m)
+            flat = np.zeros((b, rows.shape[1]), np.uint8)
+            flat[:m] = rows
+            # uint8 on the wire; widen to int32 on device (the relay moves
+            # ~3-30 MB/s — int32 rows were 4x the bytes for nothing)
+            flat_dev = _widen_rows_jit(jnp.asarray(flat))
+            if shift is None:
+                shift = self.rng.uniform(-c.shift_size, c.shift_size, (m, 2))
+            shapes = np.tile(ms, (b, 1)).astype(np.float32)
+            shapes[:m, 0::2] += shift[:, 0:1].astype(np.float32)
+            shapes[:m, 1::2] += shift[:, 1:2].astype(np.float32)
+            state = validate_dev(
+                flat_dev,
+                jnp.asarray(shapes),
+                jnp.asarray(np.arange(b) < m),
+                b,
+            )
             return (
                 np.asarray(state["alive"])[:m],
                 np.asarray(state["score"])[:m].astype(np.float64),
@@ -475,21 +776,50 @@ class Trainer:
                 np.asarray(state["nvis"])[:m],
             )
 
+        validate.validate_dev = validate_dev
+        validate.ms_dev = ms_dev
         return validate
 
-    def more_neg_samples(self, t: int, k: int) -> None:
-        """DataSet::MoreNegSamples (data.cpp:479-532)."""
+    def more_neg_samples(self, t: int, k: int) -> int:
+        """DataSet::MoreNegSamples (data.cpp:479-532).  Returns the number
+        of negatives actually mined (-1 when none were needed)."""
         c = self.c
         want = int(c.nps[t] * self.pos.size) - self.neg.size
         if want <= 0:
-            return
+            return -1
         log(f"mining {want} hard negatives (stage {t}, cart {k})")
         t0 = time.time()
-        rows, scores, shapes, stats = self.neg_gen.generate(
-            self.make_validator(t, k - 1),
-            want,
-            max_batches=self.mining_max_batches,
+        validator = self.make_validator(t, k - 1)
+        use_dev = (
+            self.single_scale
+            and os.environ.get("JDA_TPU_DEVICE_MINER", "1") != "0"
         )
+        if use_dev:
+            if self._miner is None:
+                from jda_tpu.train.mining import DeviceMiner
+
+                self._miner = DeviceMiner(
+                    self.neg_gen,
+                    c,
+                    per_state=max(
+                        self.mining_batch // self.neg_gen.n_states, 64
+                    ),
+                )
+            use_dev = self._miner.applicable
+        if use_dev:
+            rows, scores, shapes, stats = self._miner.generate(
+                validator,
+                want,
+                max_batches=self.mining_max_batches,
+                rng=self.rng,
+            )
+        else:
+            rows, scores, shapes, stats = self.neg_gen.generate(
+                validator,
+                want,
+                batch=self.mining_batch,
+                max_batches=self.mining_max_batches,
+            )
         if len(rows):
             self.neg.append_negatives(
                 rows, scores, shapes, self.model.mean_shape
@@ -500,6 +830,7 @@ class Trainer:
             f"{stats['avg_reject_carts']:.2f}"
             + (" [background pool exhausted]" if stats["exhausted"] else "")
         )
+        return len(rows)
 
     # -- stage training (BoostCart::Train, btcart.cpp:120-317) ---------------
 
@@ -517,13 +848,32 @@ class Trainer:
         restarts = 0
         best_drop_rate = 0.0
         best_cart_snapshot = None
+        dry_minings = 0  # consecutive minings that produced nothing
 
         k = start_cart
         while k < c.K:
             kk = k + 1
             if neg.size < neg_th:
-                self.more_neg_samples(t, k)
+                mined = self.more_neg_samples(t, k)
                 neg_th = int(neg.size * c.mining_th[t])
+                dry_minings = (
+                    dry_minings + 1 if (mined == 0 and neg.size == 0) else 0
+                )
+                if dry_minings >= 2:
+                    # the background pool has no hard negatives left; the
+                    # reference would spin forever (data.cpp:913-925) —
+                    # finish the stage with pass-through carts instead
+                    log(
+                        f"stage {t+1}: hard-negative supply exhausted at "
+                        f"cart {kk}/{c.K}; remaining carts are pass-through"
+                    )
+                    for kr in range(k, c.K):
+                        self.model.leaf_scores[t, kr] = 0.0
+                        self.model.mean[t, kr] = 0.0
+                        self.model.std[t, kr] = 1.0
+                        self.model.cart_th[t, kr] = -np.inf
+                    self.model.cart_idx = c.K - 1
+                    break
             if self.verbose and neg.size:
                 print(
                     draw_density_graph(
@@ -630,6 +980,7 @@ class Trainer:
                 continue
             delta = W[lbf].sum(axis=1)  # [size, 2L]
             ds.current_shapes[lidx] += st_apply(ds.stp_mc[lidx], delta)
+            ds.invalidate_shapes()  # device mirror is now stale
 
         err = calc_mean_error(
             pos.gt_shapes[valid],

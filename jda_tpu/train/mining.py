@@ -1,0 +1,366 @@
+"""On-device hard-negative mining screen.
+
+The reference mines negatives by cropping one window at a time from a
+background image, resizing it, and running the partial cascade on it
+(src/jda/data.cpp:885-1012, NegGenerator::NextImage + the OpenMP miner).
+A TPU port of that loop is transfer-bound: shipping candidate pixels over
+the device link costs ~4 KB/window while the verdict is one bit, and at
+late-cascade false-positive rates (<1e-2) essentially all shipped bytes
+are thrown away.
+
+Here the *backgrounds* live on device and the windows never exist on the
+host at all:
+
+  * each scan state's current background is uploaded once (~50 KB) into a
+    slot of a resident [n_states, Hmax, Wmax] uint8 tensor;
+  * a window (y, x, w) -> img_o_size crop+bilinear-resize is synthesized
+    on device as two small matmuls per state: out = Ry @ bg @ Rx^T, where
+    Ry/Rx are the 2-tap bilinear interpolation operators of the w ->
+    img_o_size resize, shifted by the window origin (built by broadcast
+    compares, contracted on the MXU — zero gathers);
+  * the partial cascade (Trainer.make_validator's device core) runs on the
+    synthesized patches in place; only a boolean verdict per window and
+    two stat scalars come back;
+  * the ~1% accepted windows are re-cropped on the host with cv2 (exact
+    reference pixel semantics, data.cpp:957-960) and re-validated in one
+    small batch, so everything that enters the corpus is bit-identical to
+    the host mining path.  The device screen's float bilinear may differ
+    from cv2's 11-bit fixed-point arithmetic in the last bit, which can
+    flip a borderline verdict — acceptance is stochastic across seeds
+    anyway (the reference's miner is OpenMP-racy, common.cpp:233-238).
+
+Window *enumeration* is exactly NegGenerator.next_window's stream; a
+one-slot pushback per state lets each batch group a state's windows by
+(background, window-size) so the resize operators stay static per group.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jda_tpu.config import Config
+from jda_tpu.data import NegGenerator, patch_row
+
+
+def _bilinear_taps(w: int, size: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """2-tap row/col operators of cv2.resize(img[w, w], (size, size)),
+    INTER_LINEAR: out[i] = wf0[i]*src[t0[i]] + wf1[i]*src[t1[i]]."""
+    src = (np.arange(size, dtype=np.float64) + 0.5) * (w / size) - 0.5
+    t0 = np.floor(src).astype(np.int64)
+    frac = (src - t0).astype(np.float32)
+    t0c = np.clip(t0, 0, w - 1)
+    t1c = np.clip(t0 + 1, 0, w - 1)
+    # when both taps clamp to the same pixel the weights must still sum to 1
+    wf1 = np.where(t0 < 0, 1.0, np.where(t0 + 1 > w - 1, 0.0, frac)).astype(
+        np.float32
+    )
+    return (
+        t0c.astype(np.int32),
+        t1c.astype(np.int32),
+        (1.0 - wf1).astype(np.float32),
+        wf1,
+    )
+
+
+def _make_synth(S: int, P: int, H: int, W: int, size: int, D: int):
+    """jit: resident backgrounds + per-state window params -> [S*P*D] i32
+    flat corpus rows (origin scale filled; h/q zero — single-scale only)."""
+
+    def synth(bgs_u8, ys, xs, t0, t1, wf0, wf1):
+        iota_h = jnp.arange(H, dtype=jnp.int32)
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        outs = []
+        for s in range(S):
+            bg = bgs_u8[s].astype(jnp.float32)  # [H, W]
+            # Ry[p, i, h]: bilinear row operator shifted by window origin
+            r0 = ys[s][:, None, None] + t0[s][None, :, None]  # [P, size, 1]
+            r1 = ys[s][:, None, None] + t1[s][None, :, None]
+            ry = (r0 == iota_h) * wf0[s][None, :, None] + (
+                r1 == iota_h
+            ) * wf1[s][None, :, None]  # [P, size, H]
+            tmp = jnp.einsum(
+                "pih,hw->piw",
+                ry,
+                bg,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            c0 = xs[s][:, None, None] + t0[s][None, :, None]
+            c1 = xs[s][:, None, None] + t1[s][None, :, None]
+            rx = (c0 == iota_w) * wf0[s][None, :, None] + (
+                c1 == iota_w
+            ) * wf1[s][None, :, None]  # [P, size, W]
+            patch = jnp.einsum(
+                "piw,pjw->pij",
+                tmp,
+                rx,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            outs.append(patch)
+        patches = jnp.concatenate(outs)  # [S*P, size, size]
+        pix = jnp.clip(jnp.floor(patches + 0.5), 0, 255).astype(jnp.int32)
+        flat = jnp.zeros((S * P, D), jnp.int32)
+        flat = flat.at[:, : size * size].set(pix.reshape(S * P, -1))
+        return flat.reshape(-1)
+
+    return jax.jit(synth)
+
+
+_shapes_from_shift = jax.jit(
+    lambda ms, shift: ms[None, :]
+    + jnp.repeat(shift, ms.shape[0] // 2, axis=1)
+)
+
+
+_screen_stats = jax.jit(
+    lambda alive, valid, nvis: (
+        jnp.sum((~alive) & valid),
+        jnp.sum(jnp.where((~alive) & valid, nvis, 0)),
+    )
+)
+
+
+class DeviceMiner:
+    """Device-resident mining pipeline over a NegGenerator's scan states.
+
+    Usable when the config is single-scale and the hard pool is drained
+    (hard-pool patches have no backing background to synthesize from).
+    """
+
+    def __init__(self, gen: NegGenerator, c: Config, per_state: int = 1024):
+        self.gen = gen
+        self.c = c
+        self.P = per_state
+        S = gen.n_states
+        self._pending: List[Optional[Tuple[int, int, int, int]]] = [None] * S
+        self._slot_ver = [-1] * S
+        self._bgs_dev = None
+        self._hw = (0, 0)
+        self._taps_cache: Dict[int, Tuple] = {}
+        self._synth = None
+        self._synth_key = None
+
+    @property
+    def applicable(self) -> bool:
+        g = self.gen
+        return all(st.hd_idx >= len(g.hards) for st in g.states)
+
+    # -- proposal grouping --------------------------------------------------
+
+    def _collect(self):
+        """One batch of proposals: per state, up to P windows sharing
+        (background, win_size); a boundary-crossing window is pushed back
+        for the next batch."""
+        g = self.gen
+        S = g.n_states
+        P = self.P
+        groups = []
+        for sid in range(S):
+            st = g.states[sid]
+            ys = np.zeros(P, np.int32)
+            xs = np.zeros(P, np.int32)
+            n = 0
+            w0 = ver0 = bg0 = None
+            if self._pending[sid] is not None:
+                y, x, w, ver = self._pending[sid]
+                self._pending[sid] = None
+                w0, ver0 = w, ver
+                bg0 = st.bg_img  # pending always belongs to the CURRENT bg
+                ys[0], xs[0] = y, x
+                n = 1
+            while n < P:
+                kind, payload = g.next_window(sid)
+                if kind == "hard":
+                    # hard pool resurfaced (shouldn't happen mid-stream);
+                    # push nothing, let the host path consume it later
+                    raise RuntimeError("hard pool entry in device miner")
+                y, x, w = payload
+                ver = st.bg_ver
+                if w0 is None:
+                    w0, ver0 = w, ver
+                    bg0 = st.bg_img
+                elif (w, ver) != (w0, ver0):
+                    # boundary: st.bg_img may already be the NEXT bg —
+                    # bg0 pinned at group start keeps the group coherent
+                    self._pending[sid] = (y, x, w, ver)
+                    break
+                ys[n], xs[n] = y, x
+                n += 1
+            groups.append(
+                dict(sid=sid, ys=ys, xs=xs, n=n, w=w0, ver=ver0, bg=bg0)
+            )
+        return groups
+
+    # -- device residency ---------------------------------------------------
+
+    def _ensure_bgs(self, groups) -> None:
+        S = self.gen.n_states
+        hmax = max(gr["bg"].shape[0] for gr in groups)
+        wmax = max(gr["bg"].shape[1] for gr in groups)
+        hmax = -(-max(hmax, self._hw[0]) // 64) * 64
+        wmax = -(-max(wmax, self._hw[1]) // 64) * 64
+        if self._bgs_dev is None or (hmax, wmax) != self._hw:
+            self._hw = (hmax, wmax)
+            buf = np.zeros((S, hmax, wmax), np.uint8)
+            for gr in groups:
+                bg = gr["bg"]
+                buf[gr["sid"], : bg.shape[0], : bg.shape[1]] = bg
+                self._slot_ver[gr["sid"]] = gr["ver"]
+            self._bgs_dev = jnp.asarray(buf)
+            return
+        for gr in groups:
+            sid = gr["sid"]
+            if self._slot_ver[sid] != gr["ver"]:
+                bg = gr["bg"]
+                pad = np.zeros(self._hw, np.uint8)
+                pad[: bg.shape[0], : bg.shape[1]] = bg
+                self._bgs_dev = _slot_update(
+                    self._bgs_dev, jnp.asarray(pad), sid
+                )
+                self._slot_ver[sid] = gr["ver"]
+
+    # -- main ---------------------------------------------------------------
+
+    def generate(
+        self,
+        validate,
+        size: int,
+        max_batches: int = 2000,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """Drop-in for NegGenerator.generate on the device path.  `validate`
+        is Trainer.make_validator's closure (carries .validate_dev)."""
+        c = self.c
+        g = self.gen
+        S = g.n_states
+        P = self.P
+        b = S * P
+        so = c.img_o_size
+        D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+        rng = rng if rng is not None else np.random.default_rng(0)
+
+        acc = []  # (bg ref, y, x, w, shift)
+        # over-collect slightly: exact revalidation drops borderline windows
+        want = size + max(size // 16, 8)
+        nega_n = 0
+        carts_n = 0
+        n_batches = 0
+        while len(acc) < want and n_batches < max_batches:
+            n_batches += 1
+            groups = self._collect()
+            self._ensure_bgs(groups)
+            H, W = self._hw
+            key = (S, P, H, W)
+            if self._synth_key != key:
+                self._synth = _make_synth(S, P, H, W, so, D)
+                self._synth_key = key
+            t0 = np.zeros((S, so), np.int32)
+            t1 = np.zeros((S, so), np.int32)
+            wf0 = np.zeros((S, so), np.float32)
+            wf1 = np.zeros((S, so), np.float32)
+            valid = np.zeros((S, P), bool)
+            ys = np.zeros((S, P), np.int32)
+            xs = np.zeros((S, P), np.int32)
+            for gr in groups:
+                sid = gr["sid"]
+                w = gr["w"]
+                if w not in self._taps_cache:
+                    self._taps_cache[w] = _bilinear_taps(w, so)
+                a, bt, c0, c1 = self._taps_cache[w]
+                t0[sid], t1[sid], wf0[sid], wf1[sid] = a, bt, c0, c1
+                valid[sid, : gr["n"]] = True
+                ys[sid] = gr["ys"]
+                xs[sid] = gr["xs"]
+            flat_dev = self._synth(
+                self._bgs_dev,
+                jnp.asarray(ys),
+                jnp.asarray(xs),
+                jnp.asarray(t0),
+                jnp.asarray(t1),
+                jnp.asarray(wf0),
+                jnp.asarray(wf1),
+            )
+            shift = rng.uniform(-c.shift_size, c.shift_size, (b, 2)).astype(
+                np.float32
+            )
+            shapes_dev = _shapes_from_shift(
+                validate.ms_dev, jnp.asarray(shift)
+            )
+            valid_dev = jnp.asarray(valid.reshape(-1))
+            state = validate.validate_dev(flat_dev, shapes_dev, valid_dev, b)
+            alive = np.asarray(state["alive"]) & valid.reshape(-1)
+            nn, cn = _screen_stats(
+                state["alive"], valid_dev, state["nvis"]
+            )
+            nega_n += int(nn)
+            carts_n += int(cn)
+            for flat_i in np.flatnonzero(alive):
+                sid, p = divmod(int(flat_i), P)
+                gr = groups[sid]
+                acc.append(
+                    (
+                        gr["bg"],
+                        int(gr["ys"][p]),
+                        int(gr["xs"][p]),
+                        gr["w"],
+                        shift[flat_i],
+                    )
+                )
+
+        # exact host rebuild + revalidation of the accepted windows (same
+        # initial shifts), so stored rows/scores/shapes are bit-identical
+        # to the host mining path
+        rows_l, scores_l, shapes_l = [], [], []
+        got = 0
+        CH = 4096
+        for i0 in range(0, len(acc), CH):
+            chunk = acc[i0 : i0 + CH]
+            rows = np.stack(
+                [
+                    patch_row(bg[y : y + w, x : x + w], c)
+                    for bg, y, x, w, _ in chunk
+                ]
+            )
+            shifts = np.stack([a[4] for a in chunk])
+            ok, score, shape, _ = validate(rows, shift=shifts)
+            take = np.flatnonzero(ok)[: size - got]
+            if len(take):
+                rows_l.append(rows[take])
+                scores_l.append(score[take])
+                shapes_l.append(shape[take])
+                got += len(take)
+            if got >= size:
+                break
+
+        stats = {
+            "exhausted": got < size,
+            "not_hard": nega_n,
+            "avg_reject_carts": carts_n / max(nega_n, 1),
+            "fp_rate": got / max(got + nega_n, 1),
+            "bg_used": g.report_bg_used(),
+        }
+        if not rows_l:
+            L2 = c.landmark_dim
+            return (
+                np.zeros((0, D), np.uint8),
+                np.zeros(0),
+                np.zeros((0, L2)),
+                stats,
+            )
+        return (
+            np.concatenate(rows_l),
+            np.concatenate(scores_l),
+            np.concatenate(shapes_l),
+            stats,
+        )
+
+
+_slot_update = jax.jit(
+    lambda bgs, pad, sid: jax.lax.dynamic_update_slice(
+        bgs, pad[None], (sid, 0, 0)
+    ),
+    donate_argnums=(0,),
+)

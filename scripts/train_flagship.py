@@ -1,0 +1,238 @@
+"""Train a flagship-geometry cascade (T=5, K=540, 27 landmarks, depth 4,
+F=2000 — the shipped reference model's geometry, /root/reference/model/
+config.json) on generated face data.
+
+FDDB images and the reference's 50k-face corpus are not available in this
+environment (/root/reference/.MISSING_LARGE_BLOBS), so this drives the full
+training stack at true scale on synthetic faces: landmark-structured
+patches for positives, textured distractor backgrounds for hard-negative
+mining.  Outputs the trained model (reference binary format), per-cart /
+per-stage wall-clock numbers (PERF.md), and training stats.
+
+Usage: python scripts/train_flagship.py [--n-pos 16384] [--out models/]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# 27-landmark canonical template (normalized [0,1] coords, face-like):
+# brows (0-5), eyes (6-11; pupils at 8 and 13 per the shipped config's
+# left/right pupil ids [9]/[14] 1-offset), nose (12-16), mouth (17-23),
+# chin (24-26)
+CANON27 = np.array([
+    [0.22, 0.30], [0.30, 0.26], [0.38, 0.30],      # left brow
+    [0.62, 0.30], [0.70, 0.26], [0.78, 0.26],      # right brow
+    [0.25, 0.40], [0.31, 0.38], [0.35, 0.41],      # left eye (8 = pupil-ish)
+    [0.65, 0.41], [0.69, 0.38], [0.75, 0.40],      # right eye
+    [0.50, 0.45], [0.44, 0.55], [0.50, 0.58],      # nose bridge/tip
+    [0.56, 0.55], [0.50, 0.62],                     # nostrils/base
+    [0.35, 0.72], [0.42, 0.69], [0.50, 0.68],      # mouth top
+    [0.58, 0.69], [0.65, 0.72], [0.50, 0.74],      # mouth corners/bottom
+    [0.42, 0.76], [0.58, 0.76],                     # lower lip
+    [0.38, 0.88], [0.62, 0.88],                     # chin
+])
+assert CANON27.shape == (27, 2)
+
+
+def make_face(rng, size, jitter=0.018):
+    img = rng.integers(100, 160, (size, size)).astype(np.int32)
+    lm = CANON27 + rng.normal(0, jitter, CANON27.shape)
+    lm = np.clip(lm, 0.05, 0.95)
+    for gx, gy in lm:
+        x, y = int(gx * size), int(gy * size)
+        img[max(y - 1, 0) : y + 2, max(x - 1, 0) : x + 2] = 25
+    # forehead band + cheek highlights: consistent face-like structure
+    img[2 : size // 5, size // 4 : 3 * size // 4] += 55
+    img[size // 2 : size // 2 + 4, size // 8 : size // 4] += 35
+    img[size // 2 : size // 2 + 4, 3 * size // 4 : 7 * size // 8] += 35
+    return np.clip(img, 0, 255).astype(np.uint8), lm.reshape(-1)
+
+
+def make_bg(rng, size=220):
+    """A background tile with a HARDNESS CONTINUUM of face-like clutter.
+
+    Real background corpora contain everything from texture to almost-
+    faces; hard-negative mining only stays supplied deep into the cascade
+    if the synthetic pool has the same continuum.  Each tile embeds
+    near-faces whose landmark jitter ranges from barely-distorted (0.03 —
+    just outside the positives' 0.018) to scrambled (0.12), with randomly
+    dropped landmarks, brightness shifts, and missing structure bands."""
+    bg = rng.integers(50, 210, (size, size)).astype(np.int32)
+    for _ in range(60):  # dark blobs + bright bands
+        x, y = rng.integers(2, size - 4, 2)
+        bg[y : y + 3, x : x + 3] = 25
+    for _ in range(10):
+        x = int(rng.integers(0, size - 40))
+        y = int(rng.integers(0, size - 12))
+        w = int(rng.integers(12, 40))
+        bg[y : y + 5, x : x + w] += 55
+    for _ in range(8):
+        s = int(rng.integers(28, 80))
+        if s + 2 >= size:
+            continue
+        x0, y0 = (int(v) for v in rng.integers(0, size - s - 1, 2))
+        jitter = float(rng.uniform(0.03, 0.12))
+        lm = CANON27 + rng.normal(0, jitter, CANON27.shape)
+        lm = np.clip(lm, 0.05, 0.95)
+        keep = rng.random(len(lm)) > rng.uniform(0.0, 0.4)
+        patch = bg[y0 : y0 + s, x0 : x0 + s]
+        base = int(rng.integers(90, 170))
+        patch[:] = rng.integers(base - 20, base + 20, (s, s))
+        dark = int(rng.integers(15, 45))
+        for (gx, gy), kp in zip(lm, keep):
+            if not kp:
+                continue
+            px, py = int(gx * s), int(gy * s)
+            patch[max(py - 1, 0) : py + 2, max(px - 1, 0) : px + 2] = dark
+        if rng.random() > 0.3:  # forehead band, sometimes missing
+            patch[2 : s // 5, s // 4 : 3 * s // 4] += 55
+        if rng.random() > 0.5:  # cheek highlights
+            patch[s // 2 : s // 2 + 3, s // 8 : s // 4] += 35
+            patch[s // 2 : s // 2 + 3, 3 * s // 4 : 7 * s // 8] += 35
+    return np.clip(bg, 0, 255).astype(np.uint8)
+
+
+def flagship_config():
+    from jda_tpu.config import Config
+
+    # field-for-field from /root/reference/model/config.json (stages block)
+    return Config(
+        T=5,
+        K=540,
+        landmark_n=27,
+        tree_depth=4,
+        shift_size=0.02,
+        multi_scale=False,
+        img_o_size=48,
+        img_h_size=36,
+        img_q_size=24,
+        mining_th=(0.2,) * 5,
+        feats=(2000,) * 5,
+        radius=(0.3, 0.2, 0.15, 0.12, 0.1),
+        probs=(0.9, 0.8, 0.7, 0.6, 0.5),
+        recall=(0.99,) * 5,
+        drops=(1,) * 5,  # shipped uses 2 of 50k faces; 1 of ~16k keeps the
+        # same order of positive attrition over 2700 carts
+        nps=(1.0,) * 5,
+        score_normalization_steps=(10,) * 5,
+        restart_on=True,
+        restart_th=(0.001,) * 5,
+        restart_times=5,
+        face_augment_on=False,
+        left_pupils=(8,),
+        right_pupils=(13,),
+        snapshot_iter=10_000,
+        seed=11,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pos", type=int, default=16384)
+    ap.add_argument("--n-bg", type=int, default=400)
+    ap.add_argument("--out", default="models")
+    ap.add_argument("--stages", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    from jda_tpu.data import patch_row
+    from jda_tpu.params import save_model
+    from jda_tpu.train.boost import Trainer
+    from jda_tpu.utils import calc_mean_error, log
+
+    c = flagship_config()
+    if args.stages < 5:
+        import dataclasses
+
+        c = dataclasses.replace(c, T=args.stages)
+    rng = np.random.default_rng(7)
+    log(f"generating {args.n_pos} faces + {args.n_bg} backgrounds")
+    rows, gts = [], []
+    for _ in range(args.n_pos):
+        f, lm = make_face(rng, c.img_o_size)
+        rows.append(patch_row(f, c))
+        gts.append(lm)
+
+    tr = Trainer(c)
+    tr.mining_max_batches = 150
+    tr.mining_batch = 8192
+    # unbounded background supply: tile i is deterministic in i, so the
+    # scan states can wrap a virtually-infinite list (the reference scans
+    # tens of thousands of on-disk background images)
+    tr.set_synthetic_data(
+        np.stack(rows),
+        np.stack(gts),
+        [],
+        neg_factory=lambda i: make_bg(np.random.default_rng(7_000_000 + i)),
+    )
+    e0 = calc_mean_error(
+        tr.pos.gt_shapes, tr.pos.current_shapes, c.left_pupils, c.right_pupils
+    )
+    log(f"initial mean error {e0:.4f}")
+
+    os.makedirs(args.out, exist_ok=True)
+    tr.snapshot_dir = None  # snapshots off: the corpus dump is ~1 GB
+
+    # per-cart timing: wrap train_cart; model-only checkpoint every 60
+    # carts (full corpus snapshots are ~1 GB — model alone is ~5 MB)
+    cart_times = []
+    orig = tr.train_cart
+    mpath_tmp = os.path.join(args.out, "flagship_synth.partial.model")
+
+    def timed(t, k):
+        t0 = time.time()
+        orig(t, k)
+        cart_times.append(time.time() - t0)
+        if (k + 1) % 60 == 0:
+            save_model(tr.model, mpath_tmp, dtype="double")
+
+    tr.train_cart = timed
+
+    t0 = time.time()
+    tr.train()
+    total = time.time() - t0
+
+    pl = tr.pos.live_idx()
+    e1 = calc_mean_error(
+        tr.pos.gt_shapes[pl],
+        tr.pos.current_shapes[pl],
+        c.left_pupils,
+        c.right_pupils,
+    )
+    mpath = os.path.join(args.out, "flagship_synth.model")
+    tr.model.stage_idx, tr.model.cart_idx = c.T, -1
+    save_model(tr.model, mpath, dtype="double")
+    stats = {
+        "n_pos": args.n_pos,
+        "T": c.T,
+        "K": c.K,
+        "total_sec": total,
+        "per_cart_sec_mean": float(np.mean(cart_times)),
+        "per_cart_sec_p50": float(np.median(cart_times)),
+        "per_stage_sec": total / c.T,
+        "mean_error_initial": float(e0),
+        "mean_error_final": float(e1),
+        "pos_survivors": int(tr.pos.size),
+        "stages": tr.stats["stages"],
+    }
+    with open(os.path.join(args.out, "flagship_synth.stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    log(json.dumps(stats))
+    log(f"model -> {mpath}")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,32 @@ def test_fddb_fold_output_format(tmp_path):
             int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3])
             float(parts[4])
         i += 2 + n
+
+
+def test_detect_batch_m1_matches_per_image():
+    """Batched method-1 detection (one fused dispatch per image batch,
+    canonical ladder + per-image masks) must be exact vs per-image
+    detect(): identical rects, scores, shapes, and window statistics."""
+    c = _cfg(method=1)
+    m = _model(c)
+    det = CppDetector(m, c)
+    rng = np.random.default_rng(3)
+    grays = [
+        rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for h, w in ((96, 128), (80, 100), (96, 128), (64, 72))
+    ]
+    singles = [det.detect(g) for g in grays]
+    batched = det.detect_batch(grays)
+    assert len(batched) == len(singles)
+    tot_reject_single = sum(s[3].cart_gothrough_n for s in singles)
+    tot_reject_batch = sum(b[3].cart_gothrough_n for b in batched)
+    for (r1, s1, sh1, st1), (r2, s2, sh2, st2) in zip(singles, batched):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+        np.testing.assert_allclose(sh1, sh2, rtol=0, atol=0)
+        assert st1.patch_n == st2.patch_n
+        assert st1.face_patch_n == st2.face_patch_n
+        assert st1.nonface_patch_n == st2.nonface_patch_n
+    # reject-depth telemetry is apportioned per image inside a batch but
+    # must agree exactly in aggregate
+    assert tot_reject_single == tot_reject_batch
