@@ -227,6 +227,11 @@ class Trainer:
         self.mining_max_batches = 2000
         self.mining_batch = 2048  # windows per validation dispatch
         self._miner = None  # lazy DeviceMiner (train/mining.py)
+        # single-dispatch cart training (and canvas descent).  Off -> the
+        # reference-structured recursion path, which the mesh trainer
+        # shares; useful for exact cross-path comparisons under ST where
+        # differently-compiled programs can round a coordinate apart
+        self.use_fused_cart = True
         self.verbose = False  # per-cart score-density graphs (btcart.cpp:19-102)
         self.snapshot_dir: Optional[str] = None
         self.stats: Dict = {"stages": []}
@@ -335,7 +340,7 @@ class Trainer:
 
     def _descend(self, ds: DataSet, idx: np.ndarray, t: int, k0: int, k1: int):
         """leaves/leaf-scores of carts [k0, k1) on a sample subset."""
-        if self.ops is None and self.single_scale:
+        if self.ops is None and self.single_scale and self.use_fused_cart:
             # resident-corpus MXU descent: only the index vector crosses
             # the link (same arithmetic as the flat-gather path)
             m = len(idx)
@@ -388,7 +393,7 @@ class Trainer:
         c = self.c
         landmark_id = k % c.landmark_n
         leaf_base = 1 << (c.tree_depth - 1)
-        if self.single_scale and self.ops is None:
+        if self.single_scale and self.ops is None and self.use_fused_cart:
             return self._train_cart_fused(t, k, landmark_id, leaf_base)
         pools, clsflags, us = self._draw_cart_params(t)
 
@@ -853,7 +858,10 @@ class Trainer:
         k = start_cart
         while k < c.K:
             kk = k + 1
-            if neg.size < neg_th:
+            # max(neg_th, 1): once the pool empties neg_th decays to 0 and
+            # `0 < 0` would never re-attempt mining — so the exhaustion
+            # early-stop below could never trigger either
+            if neg.size < max(neg_th, 1):
                 mined = self.more_neg_samples(t, k)
                 neg_th = int(neg.size * c.mining_th[t])
                 dry_minings = (

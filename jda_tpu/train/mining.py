@@ -67,10 +67,24 @@ def _bilinear_taps(w: int, size: int) -> Tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 def _make_synth(S: int, P: int, H: int, W: int, size: int, D: int):
-    """jit: resident backgrounds + per-state window params -> [S*P*D] i32
-    flat corpus rows (origin scale filled; h/q zero — single-scale only)."""
+    """jit: resident backgrounds + PACKED window params -> (flat rows,
+    initial shapes, validity).  All per-batch host data crosses the link
+    as exactly two arrays (one i32, one f32) and the whole screen batch
+    is consumed on device — the relay round-trip count, not bandwidth or
+    compute, bounds mining throughput.
 
-    def synth(bgs_u8, ys, xs, t0, t1, wf0, wf1):
+    ipack row s: [ys(P) | xs(P) | t0(size) | t1(size) | valid(P)] i32.
+    fpack: [wf0 (S*size) | wf1 (S*size) | shift (S*P*2)] f32."""
+
+    def synth(bgs_u8, ipack, fpack, ms):
+        ys = ipack[:, :P]
+        xs = ipack[:, P : 2 * P]
+        t0 = ipack[:, 2 * P : 2 * P + size]
+        t1 = ipack[:, 2 * P + size : 2 * P + 2 * size]
+        valid = ipack[:, 2 * P + 2 * size :] != 0
+        wf0 = fpack[: S * size].reshape(S, size)
+        wf1 = fpack[S * size : 2 * S * size].reshape(S, size)
+        shift = fpack[2 * S * size :].reshape(S * P, 2)
         iota_h = jnp.arange(H, dtype=jnp.int32)
         iota_w = jnp.arange(W, dtype=jnp.int32)
         outs = []
@@ -104,21 +118,23 @@ def _make_synth(S: int, P: int, H: int, W: int, size: int, D: int):
         pix = jnp.clip(jnp.floor(patches + 0.5), 0, 255).astype(jnp.int32)
         flat = jnp.zeros((S * P, D), jnp.int32)
         flat = flat.at[:, : size * size].set(pix.reshape(S * P, -1))
-        return flat.reshape(-1)
+        shapes = ms[None, :] + jnp.repeat(shift, ms.shape[0] // 2, axis=1)
+        return flat.reshape(-1), shapes, valid.reshape(-1)
 
     return jax.jit(synth)
 
 
-_shapes_from_shift = jax.jit(
-    lambda ms, shift: ms[None, :]
-    + jnp.repeat(shift, ms.shape[0] // 2, axis=1)
-)
-
-
-_screen_stats = jax.jit(
-    lambda alive, valid, nvis: (
-        jnp.sum((~alive) & valid),
-        jnp.sum(jnp.where((~alive) & valid, nvis, 0)),
+_pack_results = jax.jit(
+    lambda alive, valid, nvis: jnp.concatenate(
+        [
+            (alive & valid).astype(jnp.int32),
+            jnp.stack(
+                [
+                    jnp.sum(((~alive) & valid).astype(jnp.int32)),
+                    jnp.sum(jnp.where((~alive) & valid, nvis, 0)),
+                ]
+            ),
+        ]
     )
 )
 
@@ -248,6 +264,28 @@ class DeviceMiner:
         nega_n = 0
         carts_n = 0
         n_batches = 0
+        pending = []  # 1-deep pipeline: dispatch batch i, harvest i-1
+
+        def harvest(entry):
+            nonlocal nega_n, carts_n
+            groups_h, shift_h, packed = entry
+            arr = np.asarray(packed)
+            alive = arr[:b] != 0
+            nega_n += int(arr[b])
+            carts_n += int(arr[b + 1])
+            for flat_i in np.flatnonzero(alive):
+                sid, p = divmod(int(flat_i), P)
+                gr = groups_h[sid]
+                acc.append(
+                    (
+                        gr["bg"],
+                        int(gr["ys"][p]),
+                        int(gr["xs"][p]),
+                        gr["w"],
+                        shift_h[flat_i],
+                    )
+                )
+
         while len(acc) < want and n_batches < max_batches:
             n_batches += 1
             groups = self._collect()
@@ -257,58 +295,38 @@ class DeviceMiner:
             if self._synth_key != key:
                 self._synth = _make_synth(S, P, H, W, so, D)
                 self._synth_key = key
-            t0 = np.zeros((S, so), np.int32)
-            t1 = np.zeros((S, so), np.int32)
-            wf0 = np.zeros((S, so), np.float32)
-            wf1 = np.zeros((S, so), np.float32)
-            valid = np.zeros((S, P), bool)
-            ys = np.zeros((S, P), np.int32)
-            xs = np.zeros((S, P), np.int32)
+            ipack = np.zeros((S, 3 * P + 2 * so), np.int32)
+            fpack = np.zeros(2 * S * so + 2 * b, np.float32)
+            shift = rng.uniform(-c.shift_size, c.shift_size, (b, 2)).astype(
+                np.float32
+            )
+            fpack[2 * S * so :] = shift.reshape(-1)
             for gr in groups:
                 sid = gr["sid"]
                 w = gr["w"]
                 if w not in self._taps_cache:
                     self._taps_cache[w] = _bilinear_taps(w, so)
                 a, bt, c0, c1 = self._taps_cache[w]
-                t0[sid], t1[sid], wf0[sid], wf1[sid] = a, bt, c0, c1
-                valid[sid, : gr["n"]] = True
-                ys[sid] = gr["ys"]
-                xs[sid] = gr["xs"]
-            flat_dev = self._synth(
+                ipack[sid, :P] = gr["ys"]
+                ipack[sid, P : 2 * P] = gr["xs"]
+                ipack[sid, 2 * P : 2 * P + so] = a
+                ipack[sid, 2 * P + so : 2 * P + 2 * so] = bt
+                ipack[sid, 2 * P + 2 * so : 2 * P + 2 * so + gr["n"]] = 1
+                fpack[sid * so : (sid + 1) * so] = c0
+                fpack[S * so + sid * so : S * so + (sid + 1) * so] = c1
+            flat_dev, shapes_dev, valid_dev = self._synth(
                 self._bgs_dev,
-                jnp.asarray(ys),
-                jnp.asarray(xs),
-                jnp.asarray(t0),
-                jnp.asarray(t1),
-                jnp.asarray(wf0),
-                jnp.asarray(wf1),
+                jnp.asarray(ipack),
+                jnp.asarray(fpack),
+                validate.ms_dev,
             )
-            shift = rng.uniform(-c.shift_size, c.shift_size, (b, 2)).astype(
-                np.float32
-            )
-            shapes_dev = _shapes_from_shift(
-                validate.ms_dev, jnp.asarray(shift)
-            )
-            valid_dev = jnp.asarray(valid.reshape(-1))
             state = validate.validate_dev(flat_dev, shapes_dev, valid_dev, b)
-            alive = np.asarray(state["alive"]) & valid.reshape(-1)
-            nn, cn = _screen_stats(
-                state["alive"], valid_dev, state["nvis"]
-            )
-            nega_n += int(nn)
-            carts_n += int(cn)
-            for flat_i in np.flatnonzero(alive):
-                sid, p = divmod(int(flat_i), P)
-                gr = groups[sid]
-                acc.append(
-                    (
-                        gr["bg"],
-                        int(gr["ys"][p]),
-                        int(gr["xs"][p]),
-                        gr["w"],
-                        shift[flat_i],
-                    )
-                )
+            packed = _pack_results(state["alive"], valid_dev, state["nvis"])
+            pending.append((groups, shift, packed))
+            if len(pending) > 1:
+                harvest(pending.pop(0))
+        for entry in pending:
+            harvest(entry)
 
         # exact host rebuild + revalidation of the accepted windows (same
         # initial shifts), so stored rows/scores/shapes are bit-identical

@@ -42,17 +42,58 @@ CANON27 = np.array([
 assert CANON27.shape == (27, 2)
 
 
-def make_face(rng, size, jitter=0.018):
-    img = rng.integers(100, 160, (size, size)).astype(np.int32)
-    lm = CANON27 + rng.normal(0, jitter, CANON27.shape)
-    lm = np.clip(lm, 0.05, 0.95)
-    for gx, gy in lm:
+def rand_affine(rng, lm, scale=(0.88, 1.15), rot_deg=15.0, trans=0.05):
+    """Per-face pose/identity/bbox variation: random similarity transform
+    of the landmark template about the patch center.  Real training data
+    has exactly this spread (pose + identity + detector bbox noise); it is
+    what makes JDA's joint alignment+classification meaningful — features
+    become discriminative only as the shape estimate converges."""
+    th = np.deg2rad(rng.uniform(-rot_deg, rot_deg))
+    s = rng.uniform(*scale)
+    R = s * np.array(
+        [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    )
+    t = rng.uniform(-trans, trans, 2)
+    return (lm - 0.5) @ R.T + 0.5 + t
+
+
+def draw_face_structure(rng, img, lm, keep=None):
+    """Landmark blobs + brightness bands shared by faces and near-face
+    distractors (per-instance darkness/strength)."""
+    size = img.shape[0]
+    dark = int(rng.integers(10, 60))
+    if keep is None:
+        keep = np.ones(len(lm), bool)
+    for (gx, gy), kp in zip(lm, keep):
+        if not kp:
+            continue
         x, y = int(gx * size), int(gy * size)
-        img[max(y - 1, 0) : y + 2, max(x - 1, 0) : x + 2] = 25
-    # forehead band + cheek highlights: consistent face-like structure
-    img[2 : size // 5, size // 4 : 3 * size // 4] += 55
-    img[size // 2 : size // 2 + 4, size // 8 : size // 4] += 35
-    img[size // 2 : size // 2 + 4, 3 * size // 4 : 7 * size // 8] += 35
+        img[max(y - 1, 0) : y + 2, max(x - 1, 0) : x + 2] = dark
+    # forehead band + cheek highlights, placed relative to the eyes/brows
+    ys = int(np.clip(lm[:6, 1].min() * size, 2, size - 2))
+    if rng.random() > 0.15:
+        img[max(ys - size // 6, 0) : ys, size // 4 : 3 * size // 4] += int(
+            rng.integers(25, 75)
+        )
+    if rng.random() > 0.4:
+        cy = int(np.clip(lm[13, 1] * size, 3, size - 4))
+        ch = int(rng.integers(15, 50))
+        img[cy : cy + 3, size // 8 : size // 4] += ch
+        img[cy : cy + 3, 3 * size // 4 : 7 * size // 8] += ch
+
+
+def make_face(rng, size, jitter=0.018):
+    """A positive: random-pose landmark template (rand_affine) + small
+    per-landmark jitter + varying brightness/contrast/noise."""
+    base = int(rng.integers(85, 175))
+    spread = int(rng.integers(15, 45))
+    img = rng.integers(base - spread, base + spread, (size, size)).astype(
+        np.int32
+    )
+    lm = rand_affine(rng, CANON27) + rng.normal(0, jitter, CANON27.shape)
+    lm = np.clip(lm, 0.04, 0.96)
+    draw_face_structure(rng, img, lm)
+    img += rng.integers(-12, 13, (size, size))
     return np.clip(img, 0, 255).astype(np.uint8), lm.reshape(-1)
 
 
@@ -79,24 +120,19 @@ def make_bg(rng, size=220):
         if s + 2 >= size:
             continue
         x0, y0 = (int(v) for v in rng.integers(0, size - s - 1, 2))
-        jitter = float(rng.uniform(0.03, 0.12))
-        lm = CANON27 + rng.normal(0, jitter, CANON27.shape)
-        lm = np.clip(lm, 0.05, 0.95)
-        keep = rng.random(len(lm)) > rng.uniform(0.0, 0.4)
+        # distortion floor sits just above the positives' jitter (0.018):
+        # the hardest distractors are nearly on the positive manifold,
+        # differing only in local landmark placement and structure details
+        jitter = float(rng.uniform(0.025, 0.10))
+        lm = rand_affine(rng, CANON27) + rng.normal(0, jitter, CANON27.shape)
+        lm = np.clip(lm, 0.04, 0.96)
+        keep = rng.random(len(lm)) > rng.uniform(0.0, 0.3)
         patch = bg[y0 : y0 + s, x0 : x0 + s]
-        base = int(rng.integers(90, 170))
-        patch[:] = rng.integers(base - 20, base + 20, (s, s))
-        dark = int(rng.integers(15, 45))
-        for (gx, gy), kp in zip(lm, keep):
-            if not kp:
-                continue
-            px, py = int(gx * s), int(gy * s)
-            patch[max(py - 1, 0) : py + 2, max(px - 1, 0) : px + 2] = dark
-        if rng.random() > 0.3:  # forehead band, sometimes missing
-            patch[2 : s // 5, s // 4 : 3 * s // 4] += 55
-        if rng.random() > 0.5:  # cheek highlights
-            patch[s // 2 : s // 2 + 3, s // 8 : s // 4] += 35
-            patch[s // 2 : s // 2 + 3, 3 * s // 4 : 7 * s // 8] += 35
+        base = int(rng.integers(85, 175))
+        spread = int(rng.integers(15, 45))
+        patch[:] = rng.integers(base - spread, base + spread, (s, s))
+        draw_face_structure(rng, patch, lm, keep)
+        patch += rng.integers(-12, 13, (s, s))
     return np.clip(bg, 0, 255).astype(np.uint8)
 
 

@@ -76,29 +76,24 @@ def test_synth_matches_cv2_resize():
     S, P, so = g.n_states, m.P, c.img_o_size
     D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
     synth = _make_synth(S, P, H, W, so, D)
-    t0 = np.zeros((S, so), np.int32)
-    t1 = np.zeros((S, so), np.int32)
-    wf0 = np.zeros((S, so), np.float32)
-    wf1 = np.zeros((S, so), np.float32)
-    ys = np.zeros((S, P), np.int32)
-    xs = np.zeros((S, P), np.int32)
+    b = S * P
+    ipack = np.zeros((S, 3 * P + 2 * so), np.int32)
+    fpack = np.zeros(2 * S * so + 2 * b, np.float32)
     for gr in groups:
         a, b_, c0, c1 = _bilinear_taps(gr["w"], so)
         sid = gr["sid"]
-        t0[sid], t1[sid], wf0[sid], wf1[sid] = a, b_, c0, c1
-        ys[sid] = gr["ys"]
-        xs[sid] = gr["xs"]
-    flat = np.asarray(
-        synth(
-            m._bgs_dev,
-            jnp.asarray(ys),
-            jnp.asarray(xs),
-            jnp.asarray(t0),
-            jnp.asarray(t1),
-            jnp.asarray(wf0),
-            jnp.asarray(wf1),
-        )
-    ).reshape(S * P, D)
+        ipack[sid, :P] = gr["ys"]
+        ipack[sid, P : 2 * P] = gr["xs"]
+        ipack[sid, 2 * P : 2 * P + so] = a
+        ipack[sid, 2 * P + so : 2 * P + 2 * so] = b_
+        ipack[sid, 2 * P + 2 * so : 2 * P + 2 * so + gr["n"]] = 1
+        fpack[sid * so : (sid + 1) * so] = c0
+        fpack[S * so + sid * so : S * so + (sid + 1) * so] = c1
+    ms = np.zeros(c.landmark_dim, np.float32)
+    flat, _, _ = synth(
+        m._bgs_dev, jnp.asarray(ipack), jnp.asarray(fpack), jnp.asarray(ms)
+    )
+    flat = np.asarray(flat).reshape(S * P, D)
     nbad = ntot = 0
     for gr in groups:
         sid = gr["sid"]
