@@ -43,6 +43,7 @@ def main():
 
     H, W = 480, 640
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    NCHUNK = int(os.environ.get("BENCH_CHUNKS", "8"))
     REPS = int(os.environ.get("BENCH_REPS", "3"))
     kw = dict(scale=1.25, min_size=24, max_size=-1, th=-0.5)
 
@@ -53,16 +54,19 @@ def main():
         seed=7,
         drop_profile=P.realistic_drop_profile(5, 540),
     )
-    imgs = [make_image(H, W, seed=3 + i) for i in range(BATCH)]
+    imgs = [make_image(H, W, seed=3 + i) for i in range(BATCH * NCHUNK)]
 
     det = Detector(model)
-    det.detect_batch(imgs, **kw)  # warmup: compile every bucket
+    det.detect_stream(imgs[: 2 * BATCH], batch=BATCH, **kw)  # warm/compile
+    # steady-state throughput: chunks of BATCH through the 1-deep pipeline
+    # (upload of chunk i overlaps compute of chunk i-1 — the production
+    # serving shape)
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        det.detect_batch(imgs, **kw)
+        det.detect_stream(imgs, batch=BATCH, **kw)
         best = min(best, time.perf_counter() - t0)
-    ours_ips = BATCH / best  # best-of: the relay tunnel adds tail latency
+    ours_ips = len(imgs) / best  # best-of: the relay adds tail latency
 
     vs = None
     if oracle.available():

@@ -793,6 +793,11 @@ class Detector:
         dims = np.array([[g.shape[1], g.shape[0]] for g in grays], np.int32)
 
         out = self._fused_run(plan, imgs_u8, dims, mesh=mesh)
+        return self._harvest_batch(plan, out, B, th, nms_overlap)
+
+    def _harvest_batch(self, plan, out, B, th, nms_overlap):
+        """Host post-pass of one fused-batch output: per-image selection,
+        NMS, window-frame -> image-frame shapes."""
         sel = np.asarray(out["sel"])
         score = np.asarray(out["score"])
         shape = np.asarray(out["shape"])
@@ -834,6 +839,105 @@ class Detector:
                     cscores,
                 )
             )
+        return results
+
+    def detect_stream(
+        self,
+        grays: List[np.ndarray],
+        batch: int = 8,
+        scale: float = 1.25,
+        min_size: int = 24,
+        max_size: int = -1,
+        th: Optional[float] = None,
+        nms_overlap: float = 0.3,
+    ) -> List[DetectionResult]:
+        """Throughput-mode detection over many images: chunks of `batch`
+        share one compiled plan and run through a 1-deep pipeline — chunk
+        i's upload/dispatch overlaps chunk i-1's download/NMS, so the
+        host<->device link and the chip work concurrently (the production
+        serving shape; the reference's analog is its OpenMP fold loop,
+        src/test.cpp:100-101).  Results identical to detect_batch."""
+        if th is None:
+            th = self.final_th_default
+        if not self._fused_enabled() or len(grays) == 0:
+            return self.detect_batch(
+                grays, scale=scale, min_size=min_size, max_size=max_size,
+                th=th, nms_overlap=nms_overlap,
+            )
+        B = batch
+        Hc = max(g.shape[0] for g in grays)
+        Wc = max(g.shape[1] for g in grays)
+        min_size = max(min_size, 24)
+        ms_c = max_size if max_size > 0 else min(Wc, Hc)
+        ms_c = min(ms_c, Wc, Hc)
+        plan = self._fused_plan(B, Hc, Wc, scale, min_size, ms_c)
+        if plan["n"] == 0:
+            return self.detect_batch(grays, scale=scale, min_size=min_size,
+                                     max_size=max_size, th=th,
+                                     nms_overlap=nms_overlap)
+
+        results: List[DetectionResult] = []
+        pending = None  # (out handles, n_valid)
+
+        def dispatch(chunk):
+            imgs_u8 = np.zeros((B, Hc, Wc), np.uint8)
+            dims = np.zeros((B, 2), np.int32)
+            for i, g in enumerate(chunk):
+                imgs_u8[i, : g.shape[0], : g.shape[1]] = g
+                dims[i] = (g.shape[1], g.shape[0])
+            out = plan["fn"](
+                self.dev,
+                jnp.asarray(imgs_u8),
+                jnp.asarray(dims),
+                plan["tabs"],
+                plan["xywin"],
+            )
+            return (out, len(chunk))
+
+        def grow_budgets(out):
+            counts = np.asarray(out["counts"])
+            plan["budgets"] = tuple(
+                max(b, (int(counts[i]) * 5 // 4 + 255) // 256 * 256)
+                if int(counts[i]) > b
+                else b
+                for i, b in enumerate(plan["budgets"])
+            )
+            plan["fn"] = None
+            self._fused_compile(plan)
+
+        def harvest(entry):
+            out, nv = entry
+            counts = np.asarray(out["counts"])
+            if any(
+                int(counts[i]) > plan["budgets"][i]
+                for i in range(len(counts))
+            ):
+                return False  # overflow: caller re-runs this chunk
+            results.extend(
+                self._harvest_batch(plan, out, B, th, nms_overlap)[:nv]
+            )
+            return True
+
+        chunks = [grays[i : i + B] for i in range(0, len(grays), B)]
+        ci = 0
+        while ci < len(chunks):
+            entry = dispatch(chunks[ci])
+            if pending is not None and not harvest(pending):
+                # budget overflow in the in-flight chunk (ci-1): grow,
+                # recompile, and replay it (the current dispatch used the
+                # stale budgets too, so it is dropped and redone)
+                grow_budgets(pending[0])
+                pending = None
+                ci -= 1
+                continue
+            pending = entry
+            ci += 1
+        while pending is not None:
+            if harvest(pending):
+                pending = None
+            else:
+                grow_budgets(pending[0])
+                pending = dispatch(chunks[-1])
         return results
 
 

@@ -410,7 +410,12 @@ def _resident_geom(H: int, W: int, win: int, step: int, ny: int, nx: int):
     for nxt in (512, 256, 128):
         if nxt >= nx128:
             continue
-        if s2 * Hp * (nxt + 128) * 4 <= _RESIDENT_VMEM_BUDGET:
+        # whole working set must fit scoped VMEM (~16 MB): the DMA slab
+        # plus ~12 [ny8, nxt] f32/i32 planes (3 outputs, 7 node values,
+        # rolls/temps)
+        slab = s2 * Hp * (nxt + 128) * 4
+        planes = 12 * ny8 * nxt * 4
+        if slab + planes <= 13 * 1024 * 1024:
             geom["ctile"] = nxt
             n_ct = -(-nx128 // nxt)
             # every tile's DMA slab [j*nxt, j*nxt + nxt + 128) must be in
@@ -577,17 +582,21 @@ def _scale_filter_pallas_tiled(
 
     def kernel(tabi_ref, tabf_ref, ph_hbm, score_ref, alive_ref, nvis_ref,
                tile, sem):
+        bi = pl.program_id(0)
         j = pl.program_id(1)
         # one DMA per grid step: all planes' column slab [s2, Hp, WT]
+        # (the HBM operand is the FULL [B, s2, Hp, Wp] array — Pallas HBM
+        # blocks must be whole-array with a trivial index map; the batch
+        # is selected here, inside the DMA)
         pltpu.make_async_copy(
-            ph_hbm.at[0, :, :, pl.ds(j * NXT, WT)], tile, sem
+            ph_hbm.at[bi, :, :, pl.ds(j * NXT, WT)], tile, sem
         ).start()
 
         score_ref[0] = jnp.zeros((ny8, NXT), jnp.float32)
         alive_ref[0] = jnp.ones((ny8, NXT), jnp.int32)
         nvis_ref[0] = jnp.zeros((ny8, NXT), jnp.int32)
         pltpu.make_async_copy(
-            ph_hbm.at[0, :, :, pl.ds(j * NXT, WT)], tile, sem
+            ph_hbm.at[bi, :, :, pl.ds(j * NXT, WT)], tile, sem
         ).wait()
 
         def crop(k, o):
@@ -649,8 +658,8 @@ def _scale_filter_pallas_tiled(
                 tabf.shape, lambda b, j: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, s2, Hp, Wp),
-                lambda b, j: (b, 0, 0, 0),
+                (B, s2, Hp, Wp),
+                lambda b, j: (0, 0, 0, 0),
                 memory_space=pltpu.MemorySpace.HBM,
             ),
         ],

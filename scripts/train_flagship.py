@@ -115,18 +115,23 @@ def make_bg(rng, size=220):
         y = int(rng.integers(0, size - 12))
         w = int(rng.integers(12, 40))
         bg[y : y + 5, x : x + w] += 55
-    for _ in range(8):
+    for _ in range(12):
         s = int(rng.integers(28, 80))
         if s + 2 >= size:
             continue
         x0, y0 = (int(v) for v in rng.integers(0, size - s - 1, 2))
-        # distortion floor sits just above the positives' jitter (0.018):
-        # the hardest distractors are nearly on the positive manifold,
-        # differing only in local landmark placement and structure details
-        jitter = float(rng.uniform(0.025, 0.10))
+        # distortion floor sits just above the positives' jitter (0.018),
+        # and the jitter DISTRIBUTION concentrates at the floor
+        # (exponential): most distractors are nearly on the positive
+        # manifold, because only those survive a deep cascade — a uniform
+        # spread starves stage-2+ mining at ~5e-5 false-positive rates
+        jitter = float(min(0.022 + rng.exponential(0.015), 0.10))
         lm = rand_affine(rng, CANON27) + rng.normal(0, jitter, CANON27.shape)
         lm = np.clip(lm, 0.04, 0.96)
-        keep = rng.random(len(lm)) > rng.uniform(0.0, 0.3)
+        # the hardest (lowest-jitter) distractors keep all landmarks —
+        # they differ from positives ONLY in landmark placement
+        drop_p = np.clip((jitter - 0.022) * 4.0, 0.0, 0.3)
+        keep = rng.random(len(lm)) > drop_p
         patch = bg[y0 : y0 + s, x0 : x0 + s]
         base = int(rng.integers(85, 175))
         spread = int(rng.integers(15, 45))

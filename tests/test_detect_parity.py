@@ -154,3 +154,39 @@ def test_detect_batch_sharded_matches_unsharded():
     for a, b in zip(sharded, plain):
         np.testing.assert_array_equal(a.bboxes, b.bboxes)
         np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+
+
+def test_detect_stream_matches_batch():
+    """Pipelined streaming detection (detect_stream) must produce exactly
+    detect_batch's results — chunking, canonical padding, and the 1-deep
+    pipeline are pure throughput mechanics."""
+    m = P.synthetic_model(T=3, K=32, landmark_n=5, seed=2, reject_rate=0.2)
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(
+            0, 256, (100 + ((7 * i) % 30), 120 + ((5 * i) % 40))
+        ).astype(np.uint8)
+        for i in range(19)
+    ]
+    det = Detector(m)
+    kw = dict(scale=1.3, min_size=24, th=-0.5)
+    rs = det.detect_stream(imgs, batch=4, **kw)
+    assert len(rs) == len(imgs)
+    # reference: per-chunk detect_batch padded to the stream's canonical
+    # plane with a dummy image (results for the dummy are discarded)
+    Hc = max(g.shape[0] for g in imgs)
+    Wc = max(g.shape[1] for g in imgs)
+    dummy = np.zeros((Hc, Wc), np.uint8)
+    ref = []
+    for i in range(0, len(imgs), 4):
+        chunk = imgs[i : i + 4]
+        padded = chunk + [dummy] * (4 - len(chunk))
+        if len(chunk) == 4:
+            padded = chunk
+        out = det.detect_batch(padded, **kw)
+        ref.extend(out[: len(chunk)])
+    for a, b in zip(rs, ref):
+        assert a.n == b.n
+        np.testing.assert_array_equal(a.bboxes, b.bboxes)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=0, atol=0)
+        np.testing.assert_allclose(a.shapes, b.shapes, rtol=0, atol=0)
