@@ -152,3 +152,43 @@ def test_cli_train_and_test(workspace, monkeypatch):
     )
     assert rc == 0
     assert os.path.exists(d / "test_result" / "000000.jpg")
+
+
+def test_cli_live_on_video(workspace):
+    """`jda live --video` over a synthesized AVI (src/live.cpp:11-52):
+    the stream loop must decode frames, detect on each, and exit cleanly
+    at end-of-stream (no camera in CI; DISPLAY-less so nothing is shown)."""
+    import cv2
+
+    from jda_tpu import cli
+    from jda_tpu import params as P
+
+    d = workspace
+    m = P.synthetic_model(T=1, K=6, landmark_n=5, seed=3, reject_rate=0.3)
+    mp = str(d / "live.model")
+    P.save_model(m, mp, dtype="double")
+
+    vid = str(d / "clip.avi")
+    wr = cv2.VideoWriter(
+        vid, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (120, 96)
+    )
+    assert wr.isOpened()
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        frame = rng.integers(0, 256, (96, 120, 3)).astype(np.uint8)
+        wr.write(frame)
+    wr.release()
+
+    rc = cli.main(
+        [
+            "--config",
+            str(d / "config.json"),
+            "live",
+            "--model",
+            mp,
+            "--video",
+            vid,
+            "--no-show",
+        ]
+    )
+    assert rc == 0
