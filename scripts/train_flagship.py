@@ -242,6 +242,17 @@ def main():
 
     tr.train_cart = timed
 
+    # ALSO snapshot right after each stage's global regression — the
+    # per-cart saves above run before it, so a snapshot taken at a stage
+    # boundary would otherwise silently lack that stage's W matrix
+    orig_stage = tr.train_stage
+
+    def staged(t):
+        orig_stage(t)
+        save_model(tr.model, mpath_tmp, dtype="double")
+
+    tr.train_stage = staged
+
     t0 = time.time()
     tr.train()
     total = time.time() - t0
