@@ -151,7 +151,14 @@ class Detector:
         params: CascadeParams,
         final_th_default: float = 0.0,
         prefilter_carts: int = 64,
+        rounding: bool = False,
     ):
+        # rounding=False reproduces the C API's coordinate truncation
+        # (c/jda.c:375-381); rounding=True uses the C++ training semantics
+        # (data.cpp:48-51) — required for models whose features are
+        # pixel-exact-sensitive (e.g. synthetic-trained), since the
+        # reference's own C library inherits this trunc-vs-round duality
+        self.rounding = bool(rounding)
         self.params = params
         self.dev = params.device_arrays(np.float32)
         self.T = params.T
@@ -282,14 +289,15 @@ class Detector:
     def _fused_plan(self, B, Hc, Wc, scale, min_size, max_size_c) -> dict:
         """Static plan (window tables + compiled program) for the C-API
         window ladder (jdaDetect semantics, truncation)."""
-        key = ("c", B, Hc, Wc, float(scale), min_size, max_size_c)
+        key = ("c", B, Hc, Wc, float(scale), min_size, max_size_c,
+               self.rounding)
         plan = self._fused_cache.get(key)
         if plan is None:
             x, y, win, scales = enumerate_windows(
                 Wc, Hc, scale, min_size, max_size_c
             )
             plan = self._fused_plan_windows(
-                key, B, Hc, Wc, x, y, win, scales, rounding=False
+                key, B, Hc, Wc, x, y, win, scales, rounding=self.rounding
             )
         return self._fused_compile(plan)
 
