@@ -240,6 +240,12 @@ class DataSet:
         self._stp_dev = None  # [cap, 2, 2] f32 stp_mc mirror (ST configs)
         self._stp_cap = -1
         self.device_sharding = None  # set by a mesh-bound Trainer
+        # capacity floor for the device mirrors: a resumed corpus can be
+        # small (a stage-end snapshot after removals), and compiling the
+        # fused trainer at a never-seen tiny capacity both misses the
+        # compile cache and has hit TPU-compiler crashes; reserve() pins
+        # the mirrors at the capacities the original run already compiled
+        self._min_cap = 0
 
     @property
     def size(self) -> int:
@@ -263,11 +269,17 @@ class DataSet:
         after another grew."""
         return max(
             _pow2(len(self.imgs)),
+            self._min_cap,
             self._flat_cap,
             self._canvas_cap,
             self._shapes_cap,
             self._stp_cap,
         )
+
+    def reserve(self, n: int) -> None:
+        """Pin the device-mirror capacity at >= _pow2(n) rows (see
+        _min_cap).  Call before first device use after a snapshot resume."""
+        self._min_cap = max(self._min_cap, _pow2(max(n, 1)))
 
     def invalidate_shapes(self):
         """Drop the per-sample shape-state mirrors.  Must be called after

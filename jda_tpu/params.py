@@ -172,11 +172,16 @@ def _read(buf: io.BufferedReader, dtype, count: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=dt, count=count)
 
 
-def load_model(path: str, dtype: str = "double") -> CascadeParams:
+def load_model(
+    path: str, dtype: str = "double", check: bool = True
+) -> CascadeParams:
     """Load a reference-format binary model.
 
     dtype="double": format of JoinCascador::SerializeTo (cascador.cpp:79-124).
     dtype="float":  format of jdaCascadorSerializeTo (c/jda.c:644-716).
+    check=True rejects models whose cursor marks complete a stage with
+    trained carts but an all-zero W (see check_complete_stages); pass
+    check=False to inspect such artifacts anyway.
     """
     f = "f8" if dtype == "double" else "f4"
     with open(path, "rb") as fin:
@@ -217,7 +222,7 @@ def load_model(path: str, dtype: str = "double") -> CascadeParams:
             W[t] = _read(fin, f, K * leaf_n * L2).reshape(K * leaf_n, L2)
         _read(fin, "<i4", 1)  # trailing mask
 
-    return CascadeParams(
+    out = CascadeParams(
         T=T,
         K=K,
         landmark_n=landmark_n,
@@ -237,10 +242,55 @@ def load_model(path: str, dtype: str = "double") -> CascadeParams:
         std=std,
         W=W,
     )
+    if check:
+        check_complete_stages(out, f"load_model({path})")
+    return out
 
 
-def save_model(params: CascadeParams, path: str, dtype: str = "double") -> None:
-    """Write a reference-format binary model (see load_model)."""
+def _stage_missing_regression(params: CascadeParams, t: int) -> bool:
+    """True when stage t has trained carts but an all-zero regression matrix.
+
+    A cursor that marks such a stage complete is the exact failure mode
+    that silently shipped a broken model in round 2: a per-cart checkpoint
+    taken at cart K-1 was re-encoded as stage-complete (the reference's
+    (stage, K-1) -> (stage+1, -1) rollover, cascador.cpp:93-104) BEFORE the
+    stage's global regression ran, so the on-disk artifact claimed a stage
+    whose shape update was a no-op.  Stages finalized as pass-through
+    (mining exhaustion: leaf scores all zero) legitimately carry W == 0 and
+    are not flagged.
+    """
+    return bool(np.any(params.leaf_scores[t]) and not np.any(params.W[t]))
+
+
+def check_complete_stages(params: CascadeParams, where: str) -> None:
+    """Refuse cursors that mark a regression-less stage as complete."""
+    done = min(max(params.stage_idx, 0), params.T)
+    for t in range(done):
+        if _stage_missing_regression(params, t):
+            raise ValueError(
+                f"{where}: cursor ({params.stage_idx}, {params.cart_idx}) "
+                f"marks stage {t} complete, but its regression matrix W[{t}] "
+                "is all zero while its carts are trained — the stage-end "
+                "global regression never ran (or its result was lost). "
+                "Re-run the stage's regression or save with "
+                "allow_incomplete_stage=True to keep a resumable cursor."
+            )
+
+
+def save_model(
+    params: CascadeParams,
+    path: str,
+    dtype: str = "double",
+    allow_incomplete_stage: bool = False,
+) -> None:
+    """Write a reference-format binary model (see load_model).
+
+    Refuses to write a cursor that declares complete a stage whose carts
+    are trained but whose W is all zero (see check_complete_stages) —
+    unless allow_incomplete_stage is set, in which case the cursor is
+    written as (stage, K-2) so resume retrains the last cart and then runs
+    the stage's global regression.
+    """
     f = "f8" if dtype == "double" else "f4"
     fdt = np.dtype("<" + f)
     T, K = params.T, params.K
@@ -253,9 +303,29 @@ def save_model(params: CascadeParams, path: str, dtype: str = "double") -> None:
     if dtype == "float":
         stage_idx, cart_idx = T + 1, -1
     elif params.cart_idx == K - 1:
-        stage_idx, cart_idx = params.stage_idx + 1, -1
+        if _stage_missing_regression(params, params.stage_idx):
+            if not allow_incomplete_stage:
+                check_complete_stages(
+                    dataclasses.replace(
+                        params,
+                        stage_idx=params.stage_idx + 1,
+                        cart_idx=-1,
+                    ),
+                    f"save_model({path})",
+                )
+            # resumable mid-stage cursor: retrain cart K-1, then regression
+            stage_idx, cart_idx = params.stage_idx, K - 2
+        else:
+            stage_idx, cart_idx = params.stage_idx + 1, -1
     else:
         stage_idx, cart_idx = params.stage_idx, params.cart_idx
+    if dtype != "float" and not allow_incomplete_stage:
+        check_complete_stages(
+            dataclasses.replace(
+                params, stage_idx=stage_idx, cart_idx=cart_idx
+            ),
+            f"save_model({path})",
+        )
 
     with open(path, "wb") as fout:
         np.asarray(
