@@ -544,6 +544,16 @@ class DataSet:
         flag = -1.0 if self.is_pos else 1.0
         self.weights[self.live] = np.exp(flag * self.scores[self.live])
 
+    # RealBoost weights are quantized to multiples of 2^-23 after the joint
+    # normalization (sum == 1).  Every float32 sum of such values — MXU
+    # histogram contractions, cumsative sums over bins, psum partials across
+    # a device mesh — is then EXACT in any association order (each partial
+    # sum is an integer multiple of 2^-23 below 2^24 quanta), so the split
+    # search makes bit-identical decisions on one chip and on any mesh.
+    # The reference's OpenMP reductions are run-to-run nondeterministic
+    # (data.cpp:255-303 under omp); this is strictly stronger.
+    WEIGHT_FRAC_BITS = 23
+
     @staticmethod
     def update_weights(pos: "DataSet", neg: "DataSet"):
         pos.update_weights_local()
@@ -559,6 +569,9 @@ class DataSet:
         else:
             pos.weights[pos.live] /= total
             neg.weights[neg.live] /= total
+        q = float(1 << DataSet.WEIGHT_FRAC_BITS)
+        pos.weights[pos.live] = np.round(pos.weights[pos.live] * q) / q
+        neg.weights[neg.live] = np.round(neg.weights[neg.live] * q) / q
         pos.weights[~pos.live] = 0.0
         neg.weights[~neg.live] = 0.0
 

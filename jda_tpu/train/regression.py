@@ -57,9 +57,16 @@ def ridge_lbf(
     chunk: int = 8192,
 ) -> np.ndarray:
     """Solve the LBF ridge regression; returns W [F, 2L] float64."""
+    from jda_tpu.train.split import RESID_FRAC_BITS
+
     n = len(leaves)
     if lam is None:
         lam = n / 2.0  # liblinear C = 1/n  =>  lam = 1/(2C)
+    # fixed-point residuals make the normal-equation sums exact in any
+    # reduction order: single-chip (chunked) and mesh-sharded (psum'd)
+    # accumulations produce bit-identical (A, b) and therefore identical W
+    q = np.float32(1 << RESID_FRAC_BITS)
+    residual = np.round(residual.astype(np.float32) * q) / q
     A = jnp.zeros((F, F), jnp.float32)
     b = jnp.zeros((F, residual.shape[1]), jnp.float32)
     for s0 in range(0, n, chunk):

@@ -205,33 +205,27 @@ class ShardedOps:
                 - 255
             )
 
+            # sufficient-statistics objective (split.py
+            # regression_metric_from_sums): per-side residual sums are
+            # exact fixed-point sums, so the psum'd values — and therefore
+            # the argmin — are bit-identical to the single-chip trainer
+            resid_q = SP.quantize_residual(resid)
             gtv = (has_gt & valid).astype(jnp.float32)
             left = (vals <= th[None, :]).astype(jnp.float32) * gtv[:, None]
-            right = gtv[:, None] - left
 
-            def side_moments(mask):
-                n = jax.lax.psum(jnp.sum(mask, axis=0), axis)  # [F]
-                parts = []
-                for d in range(2):
-                    r = resid[:, d : d + 1]
-                    s1 = jax.lax.psum(jnp.sum(mask * r, axis=0), axis)
-                    s2 = jax.lax.psum(jnp.sum(mask * r * r, axis=0), axis)
-                    parts.append((s1, s2))
-                return n, parts
-
-            def side_var(mask):
-                n, parts = side_moments(mask)
-                safe_n = jnp.maximum(n, 1.0)
-                tot = 0.0
-                for s1, s2 in parts:
-                    m1 = s1 / safe_n
-                    m2 = s2 / safe_n
-                    tot = tot + jnp.where(n > 0, m2 - m1 * m1, 0.0)
-                return tot, n
-
-            var_l, nl = side_var(left)
-            var_r, nr = side_var(right)
-            metric = var_l * nl + var_r * nr
+            n_tot = jax.lax.psum(jnp.sum(gtv), axis)
+            nl = jax.lax.psum(jnp.sum(left, axis=0), axis)  # [F]
+            nr = n_tot - nl
+            sums = []
+            for d in range(2):
+                S_l = jax.lax.psum(
+                    jnp.sum(left * resid_q[:, d : d + 1], axis=0), axis
+                )
+                S_tot = jax.lax.psum(jnp.sum(gtv * resid_q[:, d]), axis)
+                sums.append((S_l, S_tot))
+            metric = SP.regression_metric_from_sums(
+                sums[0], sums[1], nl=nl, nr=nr
+            )
             f_idx = jnp.argmin(metric).astype(jnp.int32)
             out_f = jnp.where(pos_n > 0, f_idx, 0)
             out_th = jnp.where(pos_n > 0, th[f_idx], jnp.int32(-256))
@@ -355,6 +349,10 @@ def ridge_lbf_sharded(
     n = len(leaves)
     if lam is None:
         lam = n / 2.0
+    # same fixed-point residual grid as regression.ridge_lbf: psum'd (A, b)
+    # match the single-chip accumulation bit-for-bit
+    q = np.float32(1 << SP.RESID_FRAC_BITS)
+    residual = np.round(residual.astype(np.float32) * q) / q
     pad = (-n) % ops.nd if n else ops.nd
     lv = np.concatenate([leaves, np.zeros((pad, leaves.shape[1]), leaves.dtype)])
     rs = np.concatenate(

@@ -16,6 +16,17 @@ Here both are single fused tensor programs:
 Tie-breaking matches the reference scan order (first feature / first
 threshold achieving the minimum wins; thresholds must be *strictly* better
 than the parent to be taken).
+
+Cross-path determinism: boosting weights arrive quantized to multiples of
+2^-23 (DataSet.update_weights) and split residuals are quantized to
+multiples of 2^-RESID_FRAC_BITS here, so every reduction feeding a split
+decision — histogram contraction, cumsum over bins, psum over a device
+mesh — is an exact fixed-point sum whose value is independent of
+association order.  The decision metrics additionally pass through a
+mantissa truncation (_quantize_metric) before argmin, so the single-chip
+and mesh-sharded trainers pick bit-identical (feature, threshold) pairs
+(the reference's OpenMP training is run-to-run nondeterministic; this is
+deliberately stronger — SURVEY.md §2 P7).
 """
 
 from __future__ import annotations
@@ -27,6 +38,30 @@ import jax
 import jax.numpy as jnp
 
 NBINS = 511  # feature values live in [-255, 255] (cart.cpp:194-199)
+
+# residual fixed-point grid: 2^-10 keeps sums of up to ~16k quanta-bounded
+# residuals (|r| <= ~0.5 after shape init) exactly representable in f32
+RESID_FRAC_BITS = 10
+
+_METRIC_DROP_BITS = 12  # mantissa bits truncated before argmin
+
+
+def quantize_residual(r: jnp.ndarray) -> jnp.ndarray:
+    """Round to the fixed residual grid (same op host-side via np.round)."""
+    q = jnp.float32(1 << RESID_FRAC_BITS)
+    return jnp.round(r.astype(jnp.float32) * q) / q
+
+
+def _quantize_metric(x: jnp.ndarray) -> jnp.ndarray:
+    """Truncate _METRIC_DROP_BITS low mantissa bits (monotone, sign-safe):
+    a fixed quantization so sub-ulp-scale arithmetic differences between
+    differently-compiled programs cannot flip an argmin."""
+    i = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    mask = jnp.int32(~((1 << _METRIC_DROP_BITS) - 1))
+    out = jax.lax.bitcast_convert_type(i & mask, jnp.float32)
+    # preserve non-finite sentinels exactly (inf stays inf; masked-off
+    # lanes use inf to lose every argmin)
+    return jnp.where(jnp.isfinite(x), out, x)
 
 
 def _entropy(p: jnp.ndarray) -> jnp.ndarray:
@@ -144,9 +179,9 @@ def classification_split_from_hists(
     e = (w_l / w_tot) * _entropy(wp_l / jnp.maximum(w_l, 1e-30)) + (
         w_r / w_tot
     ) * _entropy(wp_r / jnp.maximum(w_r, 1e-30))
-    e = jnp.where(ok, e, jnp.inf)
+    e = _quantize_metric(jnp.where(ok, e, jnp.inf))
 
-    parent = _entropy(wp_tot[:, 0] / w_tot[:, 0])  # [F]
+    parent = _quantize_metric(_entropy(wp_tot[:, 0] / w_tot[:, 0]))  # [F]
     best_e = jnp.min(e, axis=1)
     best_th = jnp.argmin(e, axis=1).astype(jnp.int32) - 255
     improved = best_e < parent  # strict (cart.cpp:233)
@@ -190,10 +225,20 @@ def regression_split(
 
     Thresholds are each feature's value at a random percentile of the
     sorted positives; variance counts only samples with a gt shape.
-    Returns (feature_idx, threshold, variance).
+    Returns (feature_idx, threshold, metric).
+
+    The reference objective n_l*var_l + n_r*var_r equals
+    sum(r^2 over both sides) - (S_l^2/n_l + S_r^2/n_r) with S = sum of
+    residuals per side; the first term is feature-independent, so the
+    argmin is computed from the SUFFICIENT STATISTICS (S_l, n_l) alone.
+    With residuals on the fixed-point grid those sums are exact in any
+    reduction order (single chip == any mesh, bit-for-bit), which the
+    m2 - m1^2 form could not guarantee (sum of squares overflows the
+    exact-f32 fixed-point range).
     """
     Mp, F = vals_pos.shape
     pos_n = jnp.sum(valid_pos.astype(jnp.int32))
+    residual = quantize_residual(residual)
 
     # exact k-th order statistic from the count histogram: values are ints
     # in [-255, 255], so sorted_vals[idx] == the smallest bin whose CDF
@@ -209,27 +254,45 @@ def regression_split(
 
     gtv = (has_gt & valid_pos).astype(jnp.float32)  # [Mp]
     left = (vals_pos <= th[None, :]).astype(jnp.float32) * gtv[:, None]
-    right = gtv[:, None] - left  # [Mp, F]
 
-    def side_var(mask):
-        n = jnp.sum(mask, axis=0)  # [F]
-        safe_n = jnp.maximum(n, 1.0)
-        tot = 0.0
-        for d in range(2):
-            r = residual[:, d : d + 1]  # [Mp, 1]
-            m1 = jnp.sum(mask * r, axis=0) / safe_n
-            m2 = jnp.sum(mask * r * r, axis=0) / safe_n
-            tot = tot + jnp.where(n > 0, m2 - m1 * m1, 0.0)
-        return tot, n
-
-    var_l, nl = side_var(left)
-    var_r, nr = side_var(right)
-    metric = var_l * nl + var_r * nr  # [F]
+    n_tot = jnp.sum(gtv)
+    nl = jnp.sum(left, axis=0)  # [F]
+    nr = n_tot - nl
+    metric = regression_metric_from_sums(
+        *[
+            (
+                jnp.sum(left * residual[:, d : d + 1], axis=0),
+                jnp.sum(gtv * residual[:, d]),
+            )
+            for d in range(2)
+        ],
+        nl=nl,
+        nr=nr,
+    )
 
     f_idx = jnp.argmin(metric).astype(jnp.int32)
     out_f = jnp.where(pos_n > 0, f_idx, 0)
     out_th = jnp.where(pos_n > 0, th[f_idx], jnp.int32(-256))
     return out_f, out_th, metric[f_idx]
+
+
+def regression_metric_from_sums(sums_x, sums_y, *, nl, nr):
+    """Decision half of the regression split from per-side residual sums.
+
+    sums_* = (S_l [F], S_tot scalar) per coordinate; on a mesh the S_l /
+    n_l arrive psum'd (exact fixed-point sums).  Returns the (quantized)
+    metric to argmin: -(S_l^2/n_l + S_r^2/n_r) summed over coordinates —
+    the reference's size-weighted variance objective minus its
+    feature-independent constant (see regression_split).
+    """
+    safe_l = jnp.maximum(nl, 1.0)
+    safe_r = jnp.maximum(nr, 1.0)
+    obj = 0.0
+    for S_l, S_tot in (sums_x, sums_y):
+        S_r = S_tot - S_l
+        obj = obj + jnp.where(nl > 0, S_l * S_l / safe_l, 0.0)
+        obj = obj + jnp.where(nr > 0, S_r * S_r / safe_r, 0.0)
+    return _quantize_metric(-obj)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_n",))

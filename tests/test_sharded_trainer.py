@@ -1,11 +1,14 @@
 """Mesh-sharded Trainer vs single-device Trainer.
 
-The sharded path (train/sharded.py) must make the same training decisions:
-identical chosen split features/thresholds (ints), identical sample
-removals, and float model fields equal to reduction tolerance (psum
-reorders float adds; the reference's own OpenMP merges are run-to-run
-nondeterministic, so int-exact decisions + float-tolerant weights is the
-meaningful equivalence — see train/sharded.py module docstring).
+The sharded path (train/sharded.py) must make IDENTICAL training
+decisions: every reduction feeding a split decision is an exact
+fixed-point sum (weights quantized to 2^-23 in DataSet.update_weights,
+residuals to 2^-10 in train/split.py), the regression objective uses
+order-independent sufficient statistics, and decision metrics are
+mantissa-quantized before argmin — so the single-chip and mesh trainers
+produce bit-equal models (the reference's own OpenMP training is
+run-to-run nondeterministic, common.cpp:233-238; this is deliberately
+stronger).
 """
 
 import numpy as np
@@ -42,48 +45,34 @@ def _train_pair(fused_ref=True, **cfg_kw):
 
 
 def test_sharded_trainer_matches_single_device():
-    """Split GAINS are f32 sums computed by different parallel reductions
-    in the two paths (mesh psum vs fused-matmul histograms, whose CPU
-    partitioning even varies with machine load), so a gain landing 1 ulp
-    from a tie can argmax apart — and one flipped node cascades.  The
-    contract is therefore near-exact decision agreement plus identical
-    training QUALITY, not bitwise equality (the reference's own OpenMP
-    merges are run-to-run nondeterministic, common.cpp:233-238)."""
+    """EXACT decision equality: quantized weights/residuals make every
+    reduction order-independent (see module docstring), so the two paths'
+    integer decisions — chosen features, thresholds, landmarks — and the
+    host-computed float fields (leaf scores, cart thresholds from
+    identical f64 score streams) must agree bit-for-bit."""
     t_ref, t_sh = _train_pair()
     a, b = t_ref.model, t_sh.model
 
-    # integer decisions agree near-exactly (a tie-flip is <1%)
-    for fa, fb in (
-        (a.lmk1, b.lmk1),
-        (a.lmk2, b.lmk2),
-        (a.scale, b.scale),
-        (a.feat_th, b.feat_th),
-    ):
-        assert (fa == fb).mean() >= 0.95, (fa != fb).mean()
+    # integer decisions: 100% equality
+    np.testing.assert_array_equal(a.lmk1, b.lmk1)
+    np.testing.assert_array_equal(a.lmk2, b.lmk2)
+    np.testing.assert_array_equal(a.scale, b.scale)
+    np.testing.assert_array_equal(a.feat_th, b.feat_th)
+    np.testing.assert_array_equal(a.off1, b.off1)
+    np.testing.assert_array_equal(a.off2, b.off2)
 
-    # float fields overwhelmingly equal to reduction tolerance
-    assert np.isclose(a.leaf_scores, b.leaf_scores, atol=1e-5).mean() >= 0.9
-    assert np.isclose(a.cart_th, b.cart_th, atol=1e-4).mean() >= 0.9
+    # host-f64 fields from identical decision streams: exact
+    np.testing.assert_array_equal(a.leaf_scores, b.leaf_scores)
+    np.testing.assert_array_equal(a.cart_th, b.cart_th)
+    np.testing.assert_array_equal(a.mean, b.mean)
+    np.testing.assert_array_equal(a.std, b.std)
 
-    # same corpus dynamics
-    assert abs(t_ref.pos.size - t_sh.pos.size) <= max(
-        0.02 * t_ref.pos.size, 2
-    )
-    # same alignment quality
-    from jda_tpu.utils import calc_mean_error
+    # identical corpus dynamics
+    assert t_ref.pos.size == t_sh.pos.size
+    np.testing.assert_array_equal(t_ref.pos.live_idx(), t_sh.pos.live_idx())
 
-    errs = []
-    for tr in (t_ref, t_sh):
-        live = tr.pos.live_idx()
-        errs.append(
-            calc_mean_error(
-                tr.pos.gt_shapes[live],
-                tr.pos.current_shapes[live],
-                tr.c.left_pupils,
-                tr.c.right_pupils,
-            )
-        )
-    assert abs(errs[0] - errs[1]) < 0.15 * max(errs) + 1e-6, errs
+    # ridge W from exact (A, b): bit-equal
+    np.testing.assert_array_equal(a.W, b.W)
 
 
 @pytest.mark.parametrize("kw", [dict(with_similarity_transform=True)],
