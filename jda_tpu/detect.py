@@ -224,9 +224,19 @@ class Detector:
         )
         tabs = []
         for win, step, _, _ in scales:
-            key = (win, step, use_pallas)
+            # key schema shared with _fused_plan_windows: (win, step,
+            # rounding) holds raw node tables; the packed variant gets its
+            # own slot ("packed" discriminator avoids cross-schema clashes)
+            key = (
+                (win, step, self.rounding, "packed")
+                if use_pallas
+                else (win, step, self.rounding)
+            )
             if key not in self._tab_cache:
-                t = D0.node_tables(self._ms32, self._host_stage0, win, step)
+                t = D0.node_tables(
+                    self._ms32, self._host_stage0, win, step,
+                    rounding=self.rounding,
+                )
                 if use_pallas:
                     t = D0.pack_tables(t, self.params.node_n)
                 self._tab_cache[key] = t
@@ -301,20 +311,31 @@ class Detector:
             )
         return self._fused_compile(plan)
 
+    def _mxu_tail_enabled(self) -> bool:
+        import os
+
+        return os.environ.get("JDA_TPU_TAIL", "mxu") != "gather"
+
     def _fused_plan_windows(
-        self, key, B, Hc, Wc, x, y, win, scales, rounding: bool
+        self, key, B, Hc, Wc, x, y, win, scales, rounding: bool,
+        origins=None,
     ) -> dict:
         """Build + cache a fused plan from an explicit window ladder (used
-        by both the C-API ladder and the fddb method-1 ladder)."""
+        by the C-API ladder, the fddb method-1 ladder, and banded scans —
+        origins gives each scale entry a canvas origin (y0, x0), see
+        ops/fused.make_fused_fn2)."""
         use_pallas = self._dense_pallas_enabled()
         tabs = []
-        for w_, s_, _, _ in scales:
+        for i, (w_, s_, _, _) in enumerate(scales):
             tkey = (w_, s_, rounding)
             if tkey not in self._tab_cache:
                 self._tab_cache[tkey] = D0.node_tables(
                     self._ms32, self._host_stage0, w_, s_, rounding=rounding
                 )
-            tabs.append(self._tab_cache[tkey])
+            t = self._tab_cache[tkey]
+            if origins is not None and origins[i] != (0, 0):
+                t = D0.shift_tables(t, origins[i][0], origins[i][1], s_)
+            tabs.append(t)
         tabs_dev = tuple(
             {k: jnp.asarray(v) for k, v in t.items()} for t in tabs
         )
@@ -322,7 +343,15 @@ class Detector:
             tabs_dev = D0.mixed_tables(tabs, scales, self.params.node_n)
         # budgets self-tune upward on overflow (the program returns
         # true per-compaction counts)
-        budgets = F.default_budgets(len(x), B, self.T, self.K)
+        mxu_tail = self._mxu_tail_enabled()
+        if origins is not None:
+            assert mxu_tail, "banded scans require the MXU-tail program"
+        groups = F.group_scales(tuple(scales)) if mxu_tail else None
+        budgets = (
+            F.default_budgets2(tuple(scales), groups, B, self.T)
+            if mxu_tail
+            else F.default_budgets(len(x), B, self.T, self.K)
+        )
         plan = {
             "x": x,
             "y": y,
@@ -335,8 +364,10 @@ class Detector:
             else None,
             "tabs": tabs_dev,
             "budgets": budgets,
+            "groups": groups,
             "use_pallas": use_pallas,
             "rounding": rounding,
+            "origins": tuple(origins) if origins is not None else None,
             "fn": None,
             "n": len(x),
             "Hc": Hc,
@@ -347,17 +378,32 @@ class Detector:
 
     def _fused_compile(self, plan: dict) -> dict:
         if plan["fn"] is None and plan["n"] > 0:
-            plan["fn"] = F.make_fused_fn(
-                meta=plan["scales"],
-                depth=self.depth,
-                leaf_n=self.leaf_n,
-                T=self.T,
-                H=plan["Hc"],
-                W=plan["Wc"],
-                budgets=plan["budgets"],
-                use_pallas=plan["use_pallas"],
-                rounding=plan["rounding"],
-            )
+            if plan.get("groups") is not None:
+                plan["fn"] = F.make_fused_fn2(
+                    meta=plan["scales"],
+                    depth=self.depth,
+                    leaf_n=self.leaf_n,
+                    T=self.T,
+                    H=plan["Hc"],
+                    W=plan["Wc"],
+                    groups=plan["groups"],
+                    budgets=plan["budgets"],
+                    use_pallas=plan["use_pallas"],
+                    rounding=plan["rounding"],
+                    origins=plan.get("origins"),
+                )
+            else:
+                plan["fn"] = F.make_fused_fn(
+                    meta=plan["scales"],
+                    depth=self.depth,
+                    leaf_n=self.leaf_n,
+                    T=self.T,
+                    H=plan["Hc"],
+                    W=plan["Wc"],
+                    budgets=plan["budgets"],
+                    use_pallas=plan["use_pallas"],
+                    rounding=plan["rounding"],
+                )
         return plan
 
     def _fused_run(self, plan, imgs_u8: np.ndarray, dims: np.ndarray, mesh=None):
@@ -690,7 +736,7 @@ class Detector:
                     flat_dev,
                     state,
                     depth=self.depth,
-                    rounding=False,
+                    rounding=self.rounding,
                     leaf_n=self.leaf_n,
                     T=self.T,
                     exact=True,
@@ -705,7 +751,9 @@ class Detector:
                 geom = window_geometry(
                     x[s0:s1], y[s0:s1], win[s0:s1], offsets, strides
                 )
-                res = self._run_batch(flat_dev, geom, s1 - s0)
+                res = self._run_batch(
+                    flat_dev, geom, s1 - s0, rounding=self.rounding
+                )
                 scores[s0:s1] = res["score"]
                 alive[s0:s1] = res["alive"]
                 shapes[s0:s1] = res["shape"]

@@ -83,6 +83,25 @@ def node_tables(
     }
 
 
+def shift_tables(
+    tab: Dict[str, np.ndarray], y0: int, x0: int, step: int
+) -> Dict[str, np.ndarray]:
+    """Shift a node table to a window-grid origin (y0, x0) on the canvas.
+
+    Both must be multiples of step: window (iy, ix) of the shifted grid
+    sits at (y0 + iy*step, x0 + ix*step), and because y0 % step == 0 the
+    phase index is unchanged while the plane row/col offsets translate by
+    (y0/step, x0/step).  Lets one canvas carry several banded window grids
+    (packed method-0 pyramids, 1080p row bands)."""
+    assert y0 % step == 0 and x0 % step == 0, (y0, x0, step)
+    out = dict(tab)
+    out["u1"] = tab["u1"] + y0 // step
+    out["u2"] = tab["u2"] + y0 // step
+    out["v1"] = tab["v1"] + x0 // step
+    out["v2"] = tab["v2"] + x0 // step
+    return out
+
+
 def _phase_decompose(
     img: jnp.ndarray, s: int, hp: int = 0, wp: int = 0
 ) -> jnp.ndarray:

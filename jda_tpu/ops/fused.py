@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from jda_tpu.ops import cascade as C
 from jda_tpu.ops import dense0 as D0
+from jda_tpu.ops import mxu_tail as MT
 
 
 def compact(alive: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -261,6 +262,321 @@ def make_fused_fn(
             "shape": state["shape"],
             "alive": state["alive"] & (sel_global >= 0),
             "nvis": state["nvis"],
+            "counts": jnp.stack(counts),
+            "total_nvis": total_nvis,
+        }
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Fused pipeline v2: MXU canvas tail, grouped by window-size bucket.
+#
+# v1 (make_fused_fn above) re-descended stage 0 on every dense survivor and
+# ran the whole tail on XLA pixel gathers (~100-130 M elem/s) — at 1080p
+# populations that wall dominated the frame.  v2 materializes each
+# surviving window's pixels ONCE into a per-lane canvas and runs every
+# cascade stage as one-hot MXU contractions (ops/mxu_tail.py): the tail's
+# per-lane cost drops from 16,200 gathered pixels to win^2 gathered pixels
+# + MXU compute.  Lanes are grouped by window-size bucket so the canvas
+# cost tracks each scale's true window size; scales past the MXU breakeven
+# (win > GATHER_MIN) keep the v1 gather tail — they are a few hundred
+# windows of any ladder.
+# ---------------------------------------------------------------------------
+
+GATHER_MIN = 257  # smallest win that stays on the gather tail
+
+
+def group_scales(
+    meta: Tuple[Tuple[int, int, int, int], ...],
+    buckets: Tuple[int, ...] = (32, 64, 128, 256),
+) -> Tuple[dict, ...]:
+    """Partition the scan ladder into canvas-bucket groups.
+
+    meta is in enumeration order (win ascending, c/jda.c:331-332), so each
+    group is a contiguous run of scales and a contiguous window-index
+    slice.  Returns dicts {S (canvas size; None = gather tail), si0, si1
+    (scale range), w0, w1 (flat window range)}.
+    """
+    offs = [0]
+    for _, _, ny, nx in meta:
+        offs.append(offs[-1] + ny * nx)
+    groups = []
+    si = 0
+    for S in buckets:
+        sj = si
+        while sj < len(meta) and meta[sj][0] <= S:
+            sj += 1
+        if sj > si:
+            groups.append(
+                {"S": S, "si0": si, "si1": sj, "w0": offs[si], "w1": offs[sj]}
+            )
+            si = sj
+    if si < len(meta):
+        groups.append(
+            {
+                "S": None,
+                "si0": si,
+                "si1": len(meta),
+                "w0": offs[si],
+                "w1": offs[-1],
+            }
+        )
+    return tuple(groups)
+
+
+def default_budgets2(
+    meta: Tuple[Tuple[int, int, int, int], ...],
+    groups: Tuple[dict, ...],
+    B: int,
+    T: int,
+) -> Tuple[int, ...]:
+    """Flat per-group budget tuple: for each group, a stage-0 survivor
+    budget then T-2 post-stage budgets (compaction after stages 1..T-2).
+    Sized like v1 (~0.5% stage-0 pass, ~5/8 attrition per stage); the
+    program reports true counts and the caller grows any overflowed entry.
+    """
+    out = []
+    for g in groups:
+        total = (g["w1"] - g["w0"]) * B
+        if total <= 4096:
+            cap = max(-(-total // 256) * 256, 256)
+            out.extend([cap] * max(1 + max(T - 2, 0), 1))
+            continue
+        s0 = max(512, -(-total // 192) // 256 * 256)
+        out.append(s0)
+        cur = s0
+        for _ in range(max(T - 2, 0)):
+            cur = max(256, -(-cur * 5 // 8) // 256 * 256)
+            out.append(cur)
+    return tuple(out)
+
+
+def make_fused_fn2(
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],
+    depth: int,
+    leaf_n: int,
+    T: int,
+    H: int,
+    W: int,
+    groups: Tuple[dict, ...],
+    budgets: Tuple[int, ...],  # default_budgets2 layout
+    use_pallas: bool = False,
+    rounding: bool = False,
+    origins: Optional[Tuple[Tuple[int, int], ...]] = None,
+):
+    """Grouped canvas-tail fused program.  Same contract as make_fused_fn:
+    returns {sel, score, shape, alive, nvis, counts, total_nvis} with sel
+    indexing the flat (b * n + w) window id; outputs are the concatenation
+    of the groups' final lanes.
+
+    origins (optional) gives each meta entry a canvas origin (y0, x0) —
+    used by banded scans (method-0 pyramid packing, 1080p row bands) whose
+    window grids do not start at (0, 0).  With origins set, dims may be
+    [B, S, 2] (per-band content (w, h), band-local), so each band of a
+    packed canvas masks windows against its own content rectangle; [B, 2]
+    dims broadcast over bands.
+    """
+    n_windows = sum(ny * nx for _, _, ny, nx in meta)
+    entries_per_group = 1 + max(T - 2, 0)
+    if origins is None:
+        origins = ((0, 0),) * len(meta)
+    # static per-window scale-index / origin vectors (enumeration order)
+    _sidx = np.concatenate(
+        [np.full(ny * nx, s, np.int32) for s, (_, _, ny, nx) in enumerate(meta)]
+    ) if meta else np.zeros(0, np.int32)
+    _oy = np.asarray([o[0] for o in origins], np.int32)
+    _ox = np.asarray([o[1] for o in origins], np.int32)
+
+    @jax.jit
+    def run(
+        dev: Dict[str, jnp.ndarray],
+        imgs: jnp.ndarray,  # [B, H, W] uint8/int32
+        dims: jnp.ndarray,  # [B, 2] or [B, S, 2] int32 (w, h)
+        tabs,
+        xywin: jnp.ndarray,  # [n, 3] int32
+    ) -> Dict[str, jnp.ndarray]:
+        B = imgs.shape[0]
+        imgs = imgs.astype(jnp.int32)
+        n = n_windows
+
+        if use_pallas:
+            score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
+                imgs, tabs, meta=meta, depth=depth
+            )
+        else:
+            score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
+                imgs, tabs, meta=meta, depth=depth
+            )
+
+        x = xywin[:, 0][None, :]
+        y = xywin[:, 1][None, :]
+        win = xywin[:, 2][None, :]
+        sidx = jnp.asarray(_sidx)
+        if dims.ndim == 3:
+            wl = jnp.take(dims[:, :, 0], sidx, axis=1)  # [B, n]
+            hl = jnp.take(dims[:, :, 1], sidx, axis=1)
+        else:
+            wl = dims[:, 0][:, None]
+            hl = dims[:, 1][:, None]
+        xl = x - jnp.take(jnp.asarray(_ox), sidx)[None, :]  # band-local
+        yl = y - jnp.take(jnp.asarray(_oy), sidx)[None, :]
+        ok = (xl <= wl - win) & (yl <= hl - win)
+        alive_ok = alive_d & ok
+        total_nvis = jnp.sum(jnp.where(ok, nvis_d, 0))
+
+        flat_img = imgs.reshape(-1)
+        outs = []  # per-group {sel, score, shape, alive, nvis}
+        counts = []
+
+        for gi, g in enumerate(groups):
+            w0, w1 = g["w0"], g["w1"]
+            ng = w1 - w0
+            gb = budgets[gi * entries_per_group : (gi + 1) * entries_per_group]
+
+            # -- group compaction over [B, ng] dense survivors ------------
+            al_g = alive_ok[:, w0:w1].reshape(-1)
+            S0 = gb[0]
+            sel, cnt0 = compact(al_g, S0)
+            counts.append(cnt0)
+            valid = sel >= 0
+            selc = jnp.maximum(sel, 0)
+            b_idx = selc // ng
+            wl = selc % ng  # window index within the group slice
+            wx = xywin[w0 + wl, 0]
+            wy = xywin[w0 + wl, 1]
+            ws = xywin[w0 + wl, 2]
+            sel_global = jnp.where(valid, b_idx * n + (w0 + wl), -1)
+
+            score0 = jnp.where(
+                valid, score_d[:, w0:w1].reshape(-1)[selc], 0.0
+            )
+            nvis0 = jnp.where(valid, nvis_d[:, w0:w1].reshape(-1)[selc], 0)
+
+            if g["S"] is not None:
+                # ---- MXU canvas tail -----------------------------------
+                S = g["S"]
+                canvas = MT.canvas_from_windows(
+                    flat_img, b_idx, wx, wy, H, W, S
+                )
+                state = {
+                    "shape": jnp.broadcast_to(
+                        dev["mean_shape"], (S0, dev["mean_shape"].shape[-1])
+                    ).astype(jnp.float32),
+                    "score": score0,
+                    "alive": valid,
+                    "nvis": nvis0,
+                    "dnvis": nvis0,
+                    "pw": ws,
+                }
+                # stage-0 leaves (descent only: dense already scored)
+                leaves0, _ = MT.descend_canvas(
+                    C.stage_params(dev, 0),
+                    canvas,
+                    state["pw"],
+                    state["shape"],
+                    depth=depth,
+                    rounding=rounding,
+                )
+                state = C.apply_regression(
+                    dev["W"][0], leaves0, state, leaf_n=leaf_n
+                )
+                for t in range(1, T):
+                    state, leaves = MT.run_cart_chunk_canvas(
+                        C.stage_params(dev, t),
+                        canvas,
+                        state,
+                        depth=depth,
+                        rounding=rounding,
+                    )
+                    state = C.apply_regression(
+                        dev["W"][t], leaves, state, leaf_n=leaf_n
+                    )
+                    if t < T - 1:
+                        lsel, cnt = compact(state["alive"], gb[t])
+                        counts.append(cnt)
+                        lvalid = lsel >= 0
+                        lselc = jnp.maximum(lsel, 0)
+                        dropped = (sel_global >= 0) & ~state["alive"]
+                        total_nvis = total_nvis + jnp.sum(
+                            jnp.where(
+                                dropped, state["nvis"] - state["dnvis"], 0
+                            )
+                        )
+                        state = _gather_state(state, lselc, lvalid)
+                        canvas = canvas[lselc]
+                        sel_global = jnp.where(lvalid, sel_global[lselc], -1)
+            else:
+                # ---- gather tail (large windows; a few hundred lanes) ---
+                base_o = (
+                    b_idx * (H * W) + wy * W + wx
+                ).astype(jnp.int32)
+                base = jnp.stack([base_o] * 3, axis=1)
+                stride = jnp.full((S0, 3), W, jnp.int32)
+                pw3 = jnp.stack([ws] * 3, axis=1)
+                state = C.init_state(
+                    S0, dev["mean_shape"], base, stride, pw3, pw3, valid
+                )
+                state["score"] = score0
+                state["nvis"] = nvis0
+                state["dnvis"] = nvis0
+                leaves0, _ = C.carts_descend(
+                    C.stage_params(dev, 0),
+                    flat_img,
+                    state,
+                    depth=depth,
+                    rounding=rounding,
+                    single_scale=True,
+                )
+                state = C.apply_regression(
+                    dev["W"][0], leaves0, state, leaf_n=leaf_n
+                )
+                for t in range(1, T):
+                    state, leaves = C.run_cart_chunk(
+                        C.stage_params(dev, t),
+                        flat_img,
+                        state,
+                        depth=depth,
+                        rounding=rounding,
+                        single_scale=True,
+                    )
+                    state = C.apply_regression(
+                        dev["W"][t], leaves, state, leaf_n=leaf_n
+                    )
+                    if t < T - 1:
+                        lsel, cnt = compact(state["alive"], gb[t])
+                        counts.append(cnt)
+                        lvalid = lsel >= 0
+                        lselc = jnp.maximum(lsel, 0)
+                        dropped = (sel_global >= 0) & ~state["alive"]
+                        total_nvis = total_nvis + jnp.sum(
+                            jnp.where(
+                                dropped, state["nvis"] - state["dnvis"], 0
+                            )
+                        )
+                        state = _gather_state(state, lselc, lvalid)
+                        sel_global = jnp.where(lvalid, sel_global[lselc], -1)
+
+            total_nvis = total_nvis + jnp.sum(
+                jnp.where(sel_global >= 0, state["nvis"] - state["dnvis"], 0)
+            )
+            outs.append(
+                {
+                    "sel": sel_global,
+                    "score": state["score"],
+                    "shape": state["shape"],
+                    "alive": state["alive"] & (sel_global >= 0),
+                    "nvis": state["nvis"],
+                }
+            )
+
+        return {
+            "sel": jnp.concatenate([o["sel"] for o in outs]),
+            "score": jnp.concatenate([o["score"] for o in outs]),
+            "shape": jnp.concatenate([o["shape"] for o in outs], axis=0),
+            "alive": jnp.concatenate([o["alive"] for o in outs]),
+            "nvis": jnp.concatenate([o["nvis"] for o in outs]),
             "counts": jnp.stack(counts),
             "total_nvis": total_nvis,
         }
