@@ -211,7 +211,227 @@ class CppDetector:
             np.asarray(out["nvis"])[:m],
         )
 
+    def _pyramid_m0(self, gray: np.ndarray) -> List[Tuple[np.ndarray, float]]:
+        """The reference shrink chain (cascador.cpp:285-304): level l+1 is
+        a cv::resize of level l by 1/fddb_scale_factor.  Returns
+        [(level_img, back_scale)]."""
+        import cv2
+
+        c = self.c
+        win = c.img_o_size
+        levels: List[Tuple[np.ndarray, float]] = []
+        img, scale = gray, 1.0
+        while img.shape[0] >= win and img.shape[1] >= win:
+            levels.append((img, scale))
+            scale *= c.fddb_scale_factor
+            nw = int(img.shape[1] / c.fddb_scale_factor)
+            nh = int(img.shape[0] / c.fddb_scale_factor)
+            if nw < 1 or nh < 1:
+                break
+            img = cv2.resize(img, (nw, nh))
+        return levels
+
+    def _m0_layout(self, Hc: int, Wc: int) -> List[Tuple[int, int, int]]:
+        """Canonical packed-pyramid layout for a (Hc, Wc) canvas: bands
+        (y0, h, w) stacked vertically, y0 aligned to fddb_step so the
+        dense filter's shifted node tables stay phase-exact
+        (ops/dense0.shift_tables)."""
+        c = self.c
+        win = c.img_o_size
+        step = c.fddb_step
+        bands: List[Tuple[int, int, int]] = []
+        h, w, y0 = Hc, Wc, 0
+        while h >= win and w >= win:
+            bands.append((y0, h, w))
+            y0 = -(-(y0 + h) // step) * step
+            nw = int(w / c.fddb_scale_factor)
+            nh = int(h / c.fddb_scale_factor)
+            if nw < 1 or nh < 1:
+                break
+            h, w = nh, nw
+        return bands
+
+    def _m0_plan(self, B: int, Hc: int, Wc: int) -> dict:
+        """Fused plan for the packed method-0 pyramid: one ladder entry per
+        band, window grids offset to each band's origin."""
+        c = self.c
+        det = self.det
+        key = (
+            "fddb0",
+            B,
+            Hc,
+            Wc,
+            c.img_o_size,
+            c.fddb_step,
+            float(c.fddb_scale_factor),
+        )
+        plan = det._fused_cache.get(key)
+        if plan is None:
+            layout = self._m0_layout(Hc, Wc)
+            win, step = c.img_o_size, c.fddb_step
+            xs, ys, ws, scales, origins = [], [], [], [], []
+            for y0, h, w in layout:
+                ny = (h - win) // step + 1
+                nx = (w - win) // step + 1
+                gy, gx = np.meshgrid(
+                    y0 + np.arange(ny, dtype=np.int32) * step,
+                    np.arange(nx, dtype=np.int32) * step,
+                    indexing="ij",
+                )
+                xs.append(gx.reshape(-1))
+                ys.append(gy.reshape(-1))
+                ws.append(np.full(gx.size, win, np.int32))
+                scales.append((win, step, ny, nx))
+                origins.append((int(y0), 0))
+            if not layout:
+                x = y = wn = np.zeros(0, np.int32)
+            else:
+                x = np.concatenate(xs)
+                y = np.concatenate(ys)
+                wn = np.concatenate(ws)
+            Hp = (layout[-1][0] + layout[-1][1]) if layout else Hc
+            plan = det._fused_plan_windows(
+                key, B, Hp, Wc, x, y, wn, tuple(scales), rounding=True,
+                origins=tuple(origins),
+            )
+            plan["m0_layout"] = layout
+            plan["m0_band"] = (
+                np.concatenate(
+                    [
+                        np.full(ny * nx, i, np.int32)
+                        for i, (_, _, ny, nx) in enumerate(scales)
+                    ]
+                )
+                if scales
+                else np.zeros(0, np.int32)
+            )
+        return det._fused_compile(plan)
+
+    def _m0_fast_applicable(self) -> bool:
+        return (
+            self.det.single_scale
+            and self.det._fused_enabled()
+            and self.det._mxu_tail_enabled()
+        )
+
+    def _detect_m0_raw_batch(self, grays, canon=None):
+        """Packed-pyramid method-0 over an image batch: every level of
+        every image rides ONE fused dispatch (the per-window cv::resize of
+        cascador.cpp:243-245 degenerates to a direct crop for single-scale
+        models: the scan window IS img_o_size, and h/q patches are never
+        read).  Returns per image (rects, scores, shapes_rel, stat) —
+        pre-NMS, shapes window-relative, exactly _detect_m0_host's raw
+        contract."""
+        c = self.c
+        det = self.det
+        B = len(grays)
+        win, step = c.img_o_size, c.fddb_step
+        Hc = max(g.shape[0] for g in grays)
+        Wc = max(g.shape[1] for g in grays)
+        if canon is not None:
+            Hc, Wc = max(Hc, canon[0]), max(Wc, canon[1])
+        plan = self._m0_plan(B, Hc, Wc)
+        layout = plan["m0_layout"]
+        nb = len(layout)
+        L2 = self.params.landmark_dim
+        TK = self.params.T * self.params.K
+
+        def empty():
+            return (
+                np.zeros((0, 4), np.int32),
+                np.zeros(0),
+                np.zeros((0, L2)),
+                DetectionStatistic(),
+            )
+
+        if plan["n"] == 0 or nb == 0:
+            return [empty() for _ in grays]
+
+        Hp = plan["Hc"]
+        imgs = np.zeros((B, Hp, Wc), np.uint8)
+        dims = np.zeros((B, nb, 2), np.int32)
+        backs = np.ones((B, nb), np.float64)
+        for i, g in enumerate(grays):
+            for li, (img, sc) in enumerate(self._pyramid_m0(g)):
+                y0 = layout[li][0]
+                imgs[i, y0 : y0 + img.shape[0], : img.shape[1]] = img
+                dims[i, li] = (img.shape[1], img.shape[0])
+                backs[i, li] = sc
+        out = det._fused_run(plan, imgs, dims)
+        sel = np.asarray(out["sel"])
+        score = np.asarray(out["score"])
+        shape = np.asarray(out["shape"])
+        alive = np.asarray(out["alive"])
+        total_nvis = int(np.asarray(out["total_nvis"]))
+
+        n = plan["n"]
+        x, y = plan["x"], plan["y"]
+        band = plan["m0_band"]
+        y0s = np.asarray([b[0] for b in layout], np.int32)
+        keep = (sel >= 0) & alive
+        bi = np.where(sel >= 0, sel // n, -1)
+        wi = np.where(sel >= 0, sel % n, 0)
+        faces_total = int(keep.sum())
+        reject_nvis = total_nvis - faces_total * TK
+
+        mask_ns, nonface_counts = [], []
+        for i in range(B):
+            d = dims[i]
+            ok = d >= win
+            m_n = int(
+                np.sum(
+                    np.where(
+                        ok.all(axis=1),
+                        ((d[:, 1] - win) // step + 1)
+                        * ((d[:, 0] - win) // step + 1),
+                        0,
+                    )
+                )
+            )
+            mask_ns.append(m_n)
+            nonface_counts.append(m_n - int((keep & (bi == i)).sum()))
+        nonface_total = max(sum(nonface_counts), 1)
+
+        results = []
+        given = 0
+        for i in range(B):
+            m = keep & (bi == i)
+            cand = wi[m]
+            bnd = band[cand]
+            back = backs[i, bnd]
+            rx = (x[cand] * back).astype(np.int32)
+            ry = ((y[cand] - y0s[bnd]) * back).astype(np.int32)
+            rs = (win * back).astype(np.int32)
+            rects = np.stack([rx, ry, rs, rs], 1).astype(np.int32)
+            if i < B - 1:
+                share = reject_nvis * nonface_counts[i] // nonface_total
+            else:
+                share = reject_nvis - given
+            given += share
+            stat = DetectionStatistic(
+                patch_n=mask_ns[i],
+                face_patch_n=len(cand),
+                nonface_patch_n=nonface_counts[i],
+                cart_gothrough_n=int(share),
+            )
+            results.append(
+                (
+                    rects,
+                    score[m].astype(np.float64),
+                    shape[m].astype(np.float64),
+                    stat,
+                )
+            )
+        return results
+
     def _detect_m0(self, gray: np.ndarray, stat: DetectionStatistic):
+        if self._m0_fast_applicable():
+            rects, scores, shapes, st = self._detect_m0_raw_batch([gray])[0]
+            stat.add(st)
+            return rects, scores, shapes
+        return self._detect_m0_host(gray, stat)
+
+    def _detect_m0_host(self, gray: np.ndarray, stat: DetectionStatistic):
         import cv2
 
         c = self.c
@@ -292,13 +512,34 @@ class CppDetector:
         gets its fddb throughput from the OpenMP fold loop
         (src/test.cpp:100-101); here images ARE the batch axis."""
         c = self.c
-        if not (
-            c.fddb_detect_method != 0
-            and self.det.single_scale
-            and self.det._fused_enabled()
-        ):
+        if c.fddb_detect_method == 0:
+            if self._m0_fast_applicable():
+                return self._detect_batch_m0(grays)
+            return [self.detect(g) for g in grays]
+        if not (self.det.single_scale and self.det._fused_enabled()):
             return [self.detect(g) for g in grays]
         return self._detect_batch_m1(grays)
+
+    def _detect_batch_m0(self, grays, canon: Optional[Tuple[int, int]] = None):
+        """Batched `jda fddb` method-0: packed pyramids ride one fused
+        dispatch, then per-image NMS + landmark relocation (the same final
+        block as detect(), cascador.cpp:448-474)."""
+        c = self.c
+        results = []
+        for rects, scores, shapes, stat in self._detect_m0_raw_batch(
+            grays, canon=canon
+        ):
+            if c.fddb_nms:
+                picked = NMS.nms_cpp(rects, scores, c.fddb_overlap)
+            else:
+                picked = np.arange(len(rects))
+            rects = rects[picked]
+            scores = scores[picked]
+            shapes = shapes[picked].copy()
+            shapes[:, 0::2] = rects[:, 0:1] + shapes[:, 0::2] * rects[:, 2:3]
+            shapes[:, 1::2] = rects[:, 1:2] + shapes[:, 1::2] * rects[:, 3:4]
+            results.append((rects, scores, shapes, stat))
+        return results
 
     def _detect_batch_m1(self, grays, canon: Optional[Tuple[int, int]] = None):
         import numpy as np

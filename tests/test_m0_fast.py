@@ -1,0 +1,120 @@
+"""Packed-pyramid method-0 detection vs the host-loop reference path.
+
+Method 0 (detectMultiScale, cascador.cpp:216-308) shrinks the image by
+fddb_scale_factor per level and slides a fixed img_o_size window.  For
+single-scale models the per-window cv::resize triple (cascador.cpp:243-245)
+degenerates to a direct crop (the o patch IS the window; h/q are never
+read), so every level can ride the dense-filter + fused-tail machinery.
+The fast path packs all pyramid levels of an image into one tall canvas
+(band origins step-aligned, ops/dense0.shift_tables) and dispatches the
+whole batch once; it must be EXACTLY equal to the host path — same rects,
+scores, shapes, and window statistics.
+"""
+
+import numpy as np
+import pytest
+
+from jda_tpu.config import Config
+from jda_tpu import params as P
+from jda_tpu.cascador import CppDetector, DetectionStatistic
+
+
+def _cfg(**kw):
+    base = dict(
+        T=2,
+        K=24,
+        landmark_n=5,
+        tree_depth=4,
+        img_o_size=32,
+        img_h_size=24,
+        img_q_size=16,
+        fddb_minimum_size=24,
+        fddb_step=4,
+        fddb_scale_factor=1.3,
+        fddb_overlap=0.3,
+        fddb_nms=True,
+        fddb_detect_method=0,
+        left_pupils=(0,),
+        right_pupils=(1,),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _model(c, seed=11, reject_rate=0.08):
+    return P.synthetic_model(
+        T=c.T,
+        K=c.K,
+        landmark_n=c.landmark_n,
+        tree_depth=c.tree_depth,
+        seed=seed,
+        reject_rate=reject_rate,
+    )
+
+
+def _image(seed=4, h=160, w=200):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))[:h, :w]
+    return np.clip(img + rng.normal(0, 10, (h, w)), 0, 255).astype(np.uint8)
+
+
+def test_m0_fast_matches_host():
+    c = _cfg()
+    m = _model(c)
+    det = CppDetector(m, c)
+    assert det._m0_fast_applicable()
+    img = _image(seed=7, h=150, w=190)
+
+    st_f = DetectionStatistic()
+    rf, sf, shf, st_b = det._detect_m0_raw_batch([img])[0]
+    st_f.add(st_b)
+    st_h = DetectionStatistic()
+    rh, sh_, shh = det._detect_m0_host(img, st_h)
+
+    np.testing.assert_array_equal(rf, rh)
+    np.testing.assert_allclose(sf, sh_, rtol=0, atol=0)
+    np.testing.assert_allclose(shf, shh, rtol=0, atol=0)
+    assert st_f.patch_n == st_h.patch_n
+    assert st_f.face_patch_n == st_h.face_patch_n
+    assert st_f.nonface_patch_n == st_h.nonface_patch_n
+    assert st_f.cart_gothrough_n == st_h.cart_gothrough_n
+    assert st_f.patch_n > 500  # several pyramid levels actually scanned
+
+
+def test_detect_batch_m0_matches_per_image():
+    """Mixed-size batch: canonical packed layout + per-band dims masking
+    must reproduce each image's own detection exactly (including a final
+    NMS + relocation identical to detect())."""
+    c = _cfg()
+    m = _model(c)
+    det = CppDetector(m, c)
+    rng = np.random.default_rng(3)
+    grays = [
+        rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for h, w in ((96, 128), (80, 100), (96, 128), (48, 56))
+    ]
+    singles = [det.detect(g) for g in grays]
+    batched = det.detect_batch(grays)
+    assert len(batched) == len(singles)
+    tot_reject_single = sum(s[3].cart_gothrough_n for s in singles)
+    tot_reject_batch = sum(b[3].cart_gothrough_n for b in batched)
+    for (r1, s1, sh1, st1), (r2, s2, sh2, st2) in zip(singles, batched):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+        np.testing.assert_allclose(sh1, sh2, rtol=0, atol=0)
+        assert st1.patch_n == st2.patch_n
+        assert st1.face_patch_n == st2.face_patch_n
+        assert st1.nonface_patch_n == st2.nonface_patch_n
+    assert tot_reject_single == tot_reject_batch
+
+
+def test_m0_tiny_image_empty():
+    """Images smaller than the scan window produce no windows (and no
+    crash) on both paths."""
+    c = _cfg()
+    m = _model(c)
+    det = CppDetector(m, c)
+    img = _image(seed=5, h=20, w=24)  # < img_o_size
+    rects, scores, shapes, stat = det.detect(img)
+    assert len(rects) == 0 and stat.patch_n == 0
