@@ -795,10 +795,10 @@ class Trainer:
         log(f"mining {want} hard negatives (stage {t}, cart {k})")
         t0 = time.time()
         validator = self.make_validator(t, k - 1)
-        use_dev = (
-            self.single_scale
-            and os.environ.get("JDA_TPU_DEVICE_MINER", "1") != "0"
-        )
+        # multi-scale configs are handled too: the device synth emits the
+        # h/q patches (mining._make_synth sizes) and validate_dev's corpus
+        # geometry reads all three planes
+        use_dev = os.environ.get("JDA_TPU_DEVICE_MINER", "1") != "0"
         if use_dev:
             if self._miner is None:
                 from jda_tpu.train.mining import DeviceMiner

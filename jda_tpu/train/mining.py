@@ -66,58 +66,81 @@ def _bilinear_taps(w: int, size: int) -> Tuple[np.ndarray, np.ndarray, np.ndarra
     )
 
 
-def _make_synth(S: int, P: int, H: int, W: int, size: int, D: int):
+def _make_synth(
+    S: int, P: int, H: int, W: int, sizes: Tuple[int, ...], D: int
+):
     """jit: resident backgrounds + PACKED window params -> (flat rows,
     initial shapes, validity).  All per-batch host data crosses the link
     as exactly two arrays (one i32, one f32) and the whole screen batch
     is consumed on device — the relay round-trip count, not bandwidth or
     compute, bounds mining throughput.
 
-    ipack row s: [ys(P) | xs(P) | t0(size) | t1(size) | valid(P)] i32.
-    fpack: [wf0 (S*size) | wf1 (S*size) | shift (S*P*2)] f32."""
+    sizes is the tuple of patch sizes to synthesize into the row: (o,) for
+    single-scale models, (o, h, q) for multi-scale models (whose features
+    read the HALF/QUARTER patches too, common.hpp:68-104); patch k lands
+    at flat-row offset sum(sizes[:k]^2).
+
+    ipack row s: [ys(P) | xs(P) | (t0(sz) | t1(sz)) per size | valid(P)]
+    i32.  fpack: [(wf0(S*sz) | wf1(S*sz)) per size | shift (S*P*2)] f32."""
 
     def synth(bgs_u8, ipack, fpack, ms):
         ys = ipack[:, :P]
         xs = ipack[:, P : 2 * P]
-        t0 = ipack[:, 2 * P : 2 * P + size]
-        t1 = ipack[:, 2 * P + size : 2 * P + 2 * size]
-        valid = ipack[:, 2 * P + 2 * size :] != 0
-        wf0 = fpack[: S * size].reshape(S, size)
-        wf1 = fpack[S * size : 2 * S * size].reshape(S, size)
-        shift = fpack[2 * S * size :].reshape(S * P, 2)
+        col = 2 * P
+        taps = []
+        for sz in sizes:
+            taps.append((ipack[:, col : col + sz], ipack[:, col + sz : col + 2 * sz]))
+            col += 2 * sz
+        valid = ipack[:, col:] != 0
+        fb = 0
+        wfs = []
+        for sz in sizes:
+            wfs.append(
+                (
+                    fpack[fb : fb + S * sz].reshape(S, sz),
+                    fpack[fb + S * sz : fb + 2 * S * sz].reshape(S, sz),
+                )
+            )
+            fb += 2 * S * sz
+        shift = fpack[fb:].reshape(S * P, 2)
         iota_h = jnp.arange(H, dtype=jnp.int32)
         iota_w = jnp.arange(W, dtype=jnp.int32)
-        outs = []
-        for s in range(S):
-            bg = bgs_u8[s].astype(jnp.float32)  # [H, W]
-            # Ry[p, i, h]: bilinear row operator shifted by window origin
-            r0 = ys[s][:, None, None] + t0[s][None, :, None]  # [P, size, 1]
-            r1 = ys[s][:, None, None] + t1[s][None, :, None]
-            ry = (r0 == iota_h) * wf0[s][None, :, None] + (
-                r1 == iota_h
-            ) * wf1[s][None, :, None]  # [P, size, H]
-            tmp = jnp.einsum(
-                "pih,hw->piw",
-                ry,
-                bg,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            c0 = xs[s][:, None, None] + t0[s][None, :, None]
-            c1 = xs[s][:, None, None] + t1[s][None, :, None]
-            rx = (c0 == iota_w) * wf0[s][None, :, None] + (
-                c1 == iota_w
-            ) * wf1[s][None, :, None]  # [P, size, W]
-            patch = jnp.einsum(
-                "piw,pjw->pij",
-                tmp,
-                rx,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            outs.append(patch)
-        patches = jnp.concatenate(outs)  # [S*P, size, size]
-        pix = jnp.clip(jnp.floor(patches + 0.5), 0, 255).astype(jnp.int32)
         flat = jnp.zeros((S * P, D), jnp.int32)
-        flat = flat.at[:, : size * size].set(pix.reshape(S * P, -1))
+        off = 0
+        for (t0, t1), (wf0, wf1), size in zip(taps, wfs, sizes):
+            outs = []
+            for s in range(S):
+                bg = bgs_u8[s].astype(jnp.float32)  # [H, W]
+                # Ry[p, i, h]: bilinear row operator shifted by window origin
+                r0 = ys[s][:, None, None] + t0[s][None, :, None]  # [P, sz, 1]
+                r1 = ys[s][:, None, None] + t1[s][None, :, None]
+                ry = (r0 == iota_h) * wf0[s][None, :, None] + (
+                    r1 == iota_h
+                ) * wf1[s][None, :, None]  # [P, sz, H]
+                tmp = jnp.einsum(
+                    "pih,hw->piw",
+                    ry,
+                    bg,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                c0 = xs[s][:, None, None] + t0[s][None, :, None]
+                c1 = xs[s][:, None, None] + t1[s][None, :, None]
+                rx = (c0 == iota_w) * wf0[s][None, :, None] + (
+                    c1 == iota_w
+                ) * wf1[s][None, :, None]  # [P, sz, W]
+                patch = jnp.einsum(
+                    "piw,pjw->pij",
+                    tmp,
+                    rx,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                outs.append(patch)
+            patches = jnp.concatenate(outs)  # [S*P, sz, sz]
+            pix = jnp.clip(jnp.floor(patches + 0.5), 0, 255).astype(jnp.int32)
+            flat = flat.at[:, off : off + size * size].set(
+                pix.reshape(S * P, -1)
+            )
+            off += size * size
         shapes = ms[None, :] + jnp.repeat(shift, ms.shape[0] // 2, axis=1)
         return flat.reshape(-1), shapes, valid.reshape(-1)
 
@@ -142,8 +165,11 @@ _pack_results = jax.jit(
 class DeviceMiner:
     """Device-resident mining pipeline over a NegGenerator's scan states.
 
-    Usable when the config is single-scale and the hard pool is drained
-    (hard-pool patches have no backing background to synthesize from).
+    Usable once the hard pool is drained (hard-pool patches have no
+    backing background to synthesize from).  Multi-scale configs
+    synthesize the HALF/QUARTER patches on device too (_make_synth
+    sizes); exact host revalidation keeps stored rows bit-identical to
+    the host mining path either way.
     """
 
     def __init__(self, gen: NegGenerator, c: Config, per_state: int = 1024):
@@ -254,7 +280,13 @@ class DeviceMiner:
         S = g.n_states
         P = self.P
         b = S * P
-        so = c.img_o_size
+        # multi-scale models read the h/q patches too — synthesize them
+        sizes = (
+            (c.img_o_size, c.img_h_size, c.img_q_size)
+            if c.multi_scale
+            else (c.img_o_size,)
+        )
+        ssum = sum(sizes)
         D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
         rng = rng if rng is not None else np.random.default_rng(0)
 
@@ -291,29 +323,34 @@ class DeviceMiner:
             groups = self._collect()
             self._ensure_bgs(groups)
             H, W = self._hw
-            key = (S, P, H, W)
+            key = (S, P, H, W, sizes)
             if self._synth_key != key:
-                self._synth = _make_synth(S, P, H, W, so, D)
+                self._synth = _make_synth(S, P, H, W, sizes, D)
                 self._synth_key = key
-            ipack = np.zeros((S, 3 * P + 2 * so), np.int32)
-            fpack = np.zeros(2 * S * so + 2 * b, np.float32)
+            ipack = np.zeros((S, 3 * P + 2 * ssum), np.int32)
+            fpack = np.zeros(2 * S * ssum + 2 * b, np.float32)
             shift = rng.uniform(-c.shift_size, c.shift_size, (b, 2)).astype(
                 np.float32
             )
-            fpack[2 * S * so :] = shift.reshape(-1)
+            fpack[2 * S * ssum :] = shift.reshape(-1)
             for gr in groups:
                 sid = gr["sid"]
                 w = gr["w"]
-                if w not in self._taps_cache:
-                    self._taps_cache[w] = _bilinear_taps(w, so)
-                a, bt, c0, c1 = self._taps_cache[w]
                 ipack[sid, :P] = gr["ys"]
                 ipack[sid, P : 2 * P] = gr["xs"]
-                ipack[sid, 2 * P : 2 * P + so] = a
-                ipack[sid, 2 * P + so : 2 * P + 2 * so] = bt
-                ipack[sid, 2 * P + 2 * so : 2 * P + 2 * so + gr["n"]] = 1
-                fpack[sid * so : (sid + 1) * so] = c0
-                fpack[S * so + sid * so : S * so + (sid + 1) * so] = c1
+                col = 2 * P
+                fb = 0
+                for sz in sizes:
+                    if (w, sz) not in self._taps_cache:
+                        self._taps_cache[(w, sz)] = _bilinear_taps(w, sz)
+                    a, bt, c0, c1 = self._taps_cache[(w, sz)]
+                    ipack[sid, col : col + sz] = a
+                    ipack[sid, col + sz : col + 2 * sz] = bt
+                    col += 2 * sz
+                    fpack[fb + sid * sz : fb + (sid + 1) * sz] = c0
+                    fpack[fb + S * sz + sid * sz : fb + S * sz + (sid + 1) * sz] = c1
+                    fb += 2 * S * sz
+                ipack[sid, col : col + gr["n"]] = 1
             flat_dev, shapes_dev, valid_dev = self._synth(
                 self._bgs_dev,
                 jnp.asarray(ipack),

@@ -60,35 +60,48 @@ def test_collect_matches_next_patch_stream():
             np.testing.assert_array_equal(perA[s][i], perB[s][i])
 
 
-def test_synth_matches_cv2_resize():
+@pytest.mark.parametrize("multi", [False, True])
+def test_synth_matches_cv2_resize(multi):
     """On-device one-hot-matmul crop+bilinear must match cv2.resize
-    INTER_LINEAR (data.cpp:957-960 pixel semantics) to <=1 LSB."""
+    INTER_LINEAR (data.cpp:957-960 pixel semantics) to <=1 LSB — for the
+    o patch alone (single-scale) and for the full o/h/q triple
+    (multi-scale models read HALF/QUARTER patches, common.hpp:68-104)."""
     import cv2
     import jax.numpy as jnp
 
-    c = _tiny_config()
+    c = _tiny_config(multi_scale=multi)
     g = NegGenerator(c)
     g.load_images(_bgs(c), np.random.default_rng(5))
     m = DeviceMiner(g, c, per_state=96)
     groups = m._collect()
     m._ensure_bgs(groups)
     H, W = m._hw
-    S, P, so = g.n_states, m.P, c.img_o_size
+    S, P = g.n_states, m.P
+    sizes = (
+        (c.img_o_size, c.img_h_size, c.img_q_size)
+        if multi
+        else (c.img_o_size,)
+    )
+    ssum = sum(sizes)
     D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
-    synth = _make_synth(S, P, H, W, so, D)
+    synth = _make_synth(S, P, H, W, sizes, D)
     b = S * P
-    ipack = np.zeros((S, 3 * P + 2 * so), np.int32)
-    fpack = np.zeros(2 * S * so + 2 * b, np.float32)
+    ipack = np.zeros((S, 3 * P + 2 * ssum), np.int32)
+    fpack = np.zeros(2 * S * ssum + 2 * b, np.float32)
     for gr in groups:
-        a, b_, c0, c1 = _bilinear_taps(gr["w"], so)
         sid = gr["sid"]
         ipack[sid, :P] = gr["ys"]
         ipack[sid, P : 2 * P] = gr["xs"]
-        ipack[sid, 2 * P : 2 * P + so] = a
-        ipack[sid, 2 * P + so : 2 * P + 2 * so] = b_
-        ipack[sid, 2 * P + 2 * so : 2 * P + 2 * so + gr["n"]] = 1
-        fpack[sid * so : (sid + 1) * so] = c0
-        fpack[S * so + sid * so : S * so + (sid + 1) * so] = c1
+        col, fb = 2 * P, 0
+        for sz in sizes:
+            a, b_, c0, c1 = _bilinear_taps(gr["w"], sz)
+            ipack[sid, col : col + sz] = a
+            ipack[sid, col + sz : col + 2 * sz] = b_
+            col += 2 * sz
+            fpack[fb + sid * sz : fb + (sid + 1) * sz] = c0
+            fpack[fb + S * sz + sid * sz : fb + S * sz + (sid + 1) * sz] = c1
+            fb += 2 * S * sz
+        ipack[sid, col : col + gr["n"]] = 1
     ms = np.zeros(c.landmark_dim, np.float32)
     flat, _, _ = synth(
         m._bgs_dev, jnp.asarray(ipack), jnp.asarray(fpack), jnp.asarray(ms)
@@ -99,15 +112,26 @@ def test_synth_matches_cv2_resize():
         sid = gr["sid"]
         for p in range(gr["n"]):
             y, x, w = int(gr["ys"][p]), int(gr["xs"][p]), gr["w"]
-            ref = cv2.resize(
-                gr["bg"][y : y + w, x : x + w], (so, so)
-            ).astype(np.int32)
-            got = flat[sid * P + p, : so * so].reshape(so, so)
-            d = np.abs(ref - got)
-            assert d.max() <= 1
-            nbad += int((d > 0).sum())
-            ntot += d.size
-    assert nbad / ntot < 0.001  # off-by-one pixels must be vanishingly rare
+            off = 0
+            for sz in sizes:
+                ref = cv2.resize(
+                    gr["bg"][y : y + w, x : x + w], (sz, sz)
+                ).astype(np.int32)
+                got = flat[sid * P + p, off : off + sz * sz].reshape(sz, sz)
+                off += sz * sz
+                d = np.abs(ref - got)
+                assert d.max() <= 1
+                nbad += int((d > 0).sum())
+                ntot += d.size
+    # off-by-one pixels must stay rare.  Exactness vs cv2 is impossible
+    # for the h/q downscales: cv2 descales a 22-bit fixed-point sum in one
+    # rounding, while the separable two-matmul's second pass multiplies a
+    # 19-bit-exact intermediate by an 11-bit coefficient (30 significant
+    # bits > f32's 24), so half-way points flip an LSB — measured ~4% on
+    # the thirds-weight 32->24/16 chains vs <0.1% for the o patch.  The
+    # exact host revalidation in generate() makes stored rows exact
+    # regardless; the synth is only a screen.
+    assert nbad / ntot < (0.06 if multi else 0.001)
 
 
 def test_device_mining_end_to_end():
