@@ -58,8 +58,10 @@ def main():
 
     from jda_tpu.detect import enumerate_windows
 
+    # max_size=-1 means "up to the image" (c/jda.c:322-326); translate
+    # before enumerating, as Detector.detect does
     windows_per_img = len(
-        enumerate_windows(W, H, kw["scale"], kw["min_size"], -1)[0]
+        enumerate_windows(W, H, kw["scale"], kw["min_size"], min(H, W))[0]
     )
 
     det = Detector(model)

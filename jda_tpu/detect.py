@@ -316,6 +316,17 @@ class Detector:
 
         return os.environ.get("JDA_TPU_TAIL", "mxu") != "gather"
 
+    def _canvas_mode(self) -> str:
+        """Survivor-canvas materialization: gather | rows | pallas
+        (ops/fused.make_fused_fn2).  pallas needs the TPU DMA kernel;
+        elsewhere it degrades to rows."""
+        import os
+
+        mode = os.environ.get("JDA_TPU_CANVAS", "rows")
+        if mode == "pallas" and jax.default_backend() != "tpu":
+            return "rows"
+        return mode
+
     def _fused_plan_windows(
         self, key, B, Hc, Wc, x, y, win, scales, rounding: bool,
         origins=None,
@@ -391,6 +402,7 @@ class Detector:
                     use_pallas=plan["use_pallas"],
                     rounding=plan["rounding"],
                     origins=plan.get("origins"),
+                    canvas_mode=self._canvas_mode(),
                 )
             else:
                 plan["fn"] = F.make_fused_fn(

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from jda_tpu.ops import cascade as C
+from jda_tpu.ops import canvas_pallas as CP
 from jda_tpu.ops import dense0 as D0
 from jda_tpu.ops import mxu_tail as MT
 
@@ -365,11 +366,17 @@ def make_fused_fn2(
     use_pallas: bool = False,
     rounding: bool = False,
     origins: Optional[Tuple[Tuple[int, int], ...]] = None,
+    canvas_mode: str = "rows",  # gather | rows | pallas (materialization)
 ):
     """Grouped canvas-tail fused program.  Same contract as make_fused_fn:
     returns {sel, score, shape, alive, nvis, counts, total_nvis} with sel
     indexing the flat (b * n + w) window id; outputs are the concatenation
     of the groups' final lanes.
+
+    canvas_mode picks how survivor canvases are materialized: "gather"
+    (jnp.take element gather — the wall), "rows" (row-span slice gather,
+    ~S-fold cheaper), "pallas" (per-lane 2D DMA kernel, HBM-bandwidth;
+    TPU only).
 
     origins (optional) gives each meta entry a canvas origin (y0, x0) —
     used by banded scans (method-0 pyramid packing, 1080p row bands) whose
@@ -427,6 +434,12 @@ def make_fused_fn2(
         total_nvis = jnp.sum(jnp.where(ok, nvis_d, 0))
 
         flat_img = imgs.reshape(-1)
+        canvas_S = [g["S"] for g in groups if g["S"] is not None]
+        imgs_pad = (
+            CP.pad_images(imgs, max(canvas_S))
+            if canvas_S and canvas_mode == "pallas"
+            else None
+        )
         outs = []  # per-group {sel, score, shape, alive, nvis}
         counts = []
 
@@ -457,9 +470,14 @@ def make_fused_fn2(
             if g["S"] is not None:
                 # ---- MXU canvas tail -----------------------------------
                 S = g["S"]
-                canvas = MT.canvas_from_windows(
-                    flat_img, b_idx, wx, wy, H, W, S
-                )
+                if canvas_mode == "pallas":
+                    canvas = CP.canvas_pallas(imgs_pad, b_idx, wx, wy, S)
+                elif canvas_mode == "rows":
+                    canvas = MT.canvas_rows(flat_img, b_idx, wx, wy, H, W, S)
+                else:
+                    canvas = MT.canvas_from_windows(
+                        flat_img, b_idx, wx, wy, H, W, S
+                    )
                 state = {
                     "shape": jnp.broadcast_to(
                         dev["mean_shape"], (S0, dev["mean_shape"].shape[-1])
@@ -505,7 +523,7 @@ def make_fused_fn2(
                             )
                         )
                         state = _gather_state(state, lselc, lvalid)
-                        canvas = canvas[lselc]
+                        canvas = MT.compact_canvas(canvas, lselc)
                         sel_global = jnp.where(lvalid, sel_global[lselc], -1)
             else:
                 # ---- gather tail (large windows; a few hundred lanes) ---

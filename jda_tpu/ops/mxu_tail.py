@@ -62,6 +62,50 @@ def canvas_from_windows(
     return (jnp.take(flat_imgs, idx) - 128).astype(jnp.int8)
 
 
+def canvas_rows(
+    flat_imgs: jnp.ndarray,  # [B*H*W] int32
+    b_idx: jnp.ndarray,  # [N]
+    x: jnp.ndarray,  # [N]
+    y: jnp.ndarray,  # [N]
+    H: int,
+    W: int,
+    S: int,
+) -> jnp.ndarray:
+    """canvas_from_windows via row-span slices instead of element gathers.
+
+    Each canvas row is S CONTIGUOUS pixels; vmap(dynamic_slice) lowers to
+    one XLA gather with slice_sizes=(S,), so the per-index scalar-issue
+    cost (the ~100-130 M elem/s take() wall, PERF.md microbench) is paid
+    once per ROW instead of once per element — an S-fold cut in the
+    canvas-materialization bill.  In-bounds results are identical to
+    canvas_from_windows; only never-read edge padding can differ
+    (dynamic_slice clamps the span start, take clips per element)."""
+    base = (b_idx * (H * W) + y * W + x).astype(jnp.int32)  # [N]
+    starts = (
+        base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] * W
+    ).reshape(-1)
+    rows = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(flat_imgs, (st,), (S,))
+    )(starts)
+    return (rows.reshape(-1, S, S) - 128).astype(jnp.int8)
+
+
+def compact_canvas(canvas: jnp.ndarray, lselc: jnp.ndarray) -> jnp.ndarray:
+    """canvas[lselc] without the int8 gather.
+
+    Lane-indexing an int8 canvas hits XLA:TPU's narrow-dtype gather
+    fallback (PERF.md microbench: ~640x slower than int32 gathers).  A
+    one-hot int8 MXU contraction moves the same rows at matrix-unit
+    throughput: [M, N] x [N, S*S] is a few G-MACs at tail budgets."""
+    N, S = canvas.shape[0], canvas.shape[1]
+    oh = (lselc[:, None] == jnp.arange(N, dtype=jnp.int32)).astype(jnp.int8)
+    flat = canvas.reshape(N, S * S)
+    out = jnp.einsum(
+        "mn,nf->mf", oh, flat, preferred_element_type=jnp.int32
+    )
+    return out.astype(jnp.int8).reshape(-1, S, S)
+
+
 def _pix_mxu(
     canvas: jnp.ndarray,  # [N, S, S] int8 (pixel - 128)
     xq: jnp.ndarray,  # [N, C] int32 column coords

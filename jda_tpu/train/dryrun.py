@@ -199,7 +199,9 @@ def sharded_trainer_dryrun(mesh: Mesh) -> None:
     tr.train_cart(0, 0)
     tr.update_scores(tr.pos, 0, 0)
     tr.update_scores(tr.neg, 0, 0)
-    assert (tr.model.feat_th[0, 0] != -256).any() or True
+    # -256 is the untrained-node sentinel (boost.py model init); a trained
+    # cart must have split at least its root node
+    assert (tr.model.feat_th[0, 0] != -256).any()
     assert np.isfinite(tr.model.leaf_scores[0, 0]).all()
     # the psum'd ridge seam
     from jda_tpu.train.sharded import ridge_lbf_sharded

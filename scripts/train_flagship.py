@@ -186,6 +186,12 @@ def main():
         help="carts per stage (smoke tests only; flagship is 540)",
     )
     ap.add_argument(
+        "--drops", type=int, default=None,
+        help="positives dropped per cart (default: 1 if n-pos >= 8192 else "
+        "0 — the shipped config's 2-of-50k attrition scaled to corpus size; "
+        "T*K drops must stay well under n-pos or training runs dry)",
+    )
+    ap.add_argument(
         "--resume",
         default=None,
         help="stage-end model snapshot to continue from (requires --resume-data)",
@@ -209,10 +215,13 @@ def main():
     from jda_tpu.utils import calc_mean_error, log
 
     c = flagship_config()
-    if args.stages < 5 or args.k != 540:
+    drops = args.drops if args.drops is not None else (1 if args.n_pos >= 8192 else 0)
+    if args.stages < 5 or args.k != 540 or drops != 1:
         import dataclasses
 
-        c = dataclasses.replace(c, T=args.stages, K=args.k)
+        c = dataclasses.replace(
+            c, T=args.stages, K=args.k, drops=(drops,) * args.stages
+        )
 
     tr = Trainer(c)
     tr.mining_max_batches = 150

@@ -82,6 +82,36 @@ def test_descend_canvas_matches_gather(rounding):
     np.testing.assert_array_equal(np.asarray(b_g), np.asarray(b_c))
 
 
+def test_canvas_rows_and_compact_match_gather():
+    """canvas_rows (row-span slices) and compact_canvas (one-hot MXU
+    compaction) must agree with the element-gather reference on every
+    in-bounds pixel (canvas cols/rows < win; padding is never read)."""
+    rng = np.random.default_rng(17)
+    B, H, W, S, N = 3, 64, 96, 32, 40
+    imgs = rng.integers(0, 256, (B, H, W)).astype(np.int32)
+    flat = jnp.asarray(imgs.reshape(-1))
+    b_idx, x, y, win, *_ = _windows_and_geom(rng, B, H, W, N, S)
+
+    ref = np.asarray(
+        MT.canvas_from_windows(
+            flat, jnp.asarray(b_idx), jnp.asarray(x), jnp.asarray(y), H, W, S
+        )
+    )
+    rows = np.asarray(
+        MT.canvas_rows(
+            flat, jnp.asarray(b_idx), jnp.asarray(x), jnp.asarray(y), H, W, S
+        )
+    )
+    for n in range(N):
+        w = int(win[n])
+        np.testing.assert_array_equal(ref[n, :w, :w], rows[n, :w, :w])
+
+    sel = rng.integers(0, N, 16).astype(np.int32)
+    np.testing.assert_array_equal(
+        ref[sel], np.asarray(MT.compact_canvas(jnp.asarray(ref), jnp.asarray(sel)))
+    )
+
+
 def test_group_scales_partition():
     _, _, _, scales = __import__(
         "jda_tpu.detect", fromlist=["enumerate_windows"]
@@ -113,7 +143,8 @@ def _detect_both(model, grays, **kw):
     return outs["gather"], outs["mxu"]
 
 
-def test_fused_v2_matches_v1_batch():
+@pytest.mark.parametrize("canvas_mode", ["gather", "rows"])
+def test_fused_v2_matches_v1_batch(canvas_mode):
     rng = np.random.default_rng(11)
     m = P.synthetic_model(
         T=3, K=12, landmark_n=9, tree_depth=4, seed=4, reject_rate=0.3
@@ -122,7 +153,11 @@ def test_fused_v2_matches_v1_batch():
         rng.integers(0, 256, (96, 128)).astype(np.uint8),
         rng.integers(0, 256, (80, 112)).astype(np.uint8),  # mixed dims
     ]
-    ref, new = _detect_both(m, grays, th=-5.0)
+    os.environ["JDA_TPU_CANVAS"] = canvas_mode
+    try:
+        ref, new = _detect_both(m, grays, th=-5.0)
+    finally:
+        os.environ.pop("JDA_TPU_CANVAS", None)
     assert sum(r.n for r in ref) > 0, "degenerate fixture: nothing detected"
     for r, v in zip(ref, new):
         assert r.n == v.n
