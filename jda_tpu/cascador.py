@@ -308,11 +308,10 @@ class CppDetector:
         return det._fused_compile(plan)
 
     def _m0_fast_applicable(self) -> bool:
-        return (
-            self.det.single_scale
-            and self.det._fused_enabled()
-            and self.det._mxu_tail_enabled()
-        )
+        # banded (origin-carrying) plans force the grouped MXU program
+        # inside _fused_plan_windows, so the JDA_TPU_TAIL default is
+        # irrelevant here
+        return self.det.single_scale and self.det._fused_enabled()
 
     def _detect_m0_raw_batch(self, grays, canon=None):
         """Packed-pyramid method-0 over an image batch: every level of

@@ -312,9 +312,14 @@ class Detector:
         return self._fused_compile(plan)
 
     def _mxu_tail_enabled(self) -> bool:
+        # Round-3 A/B on the real chip (scripts/tune_detect.py): the plain
+        # gather tail runs VGA at 11.91 img/s vs 6.3-7.0 for every MXU
+        # canvas mode, so gather is the default; banded scans (1080p)
+        # still force the grouped MXU program, which is the only one that
+        # understands canvas origins.
         import os
 
-        return os.environ.get("JDA_TPU_TAIL", "mxu") != "gather"
+        return os.environ.get("JDA_TPU_TAIL", "gather") != "gather"
 
     def _canvas_mode(self) -> str:
         """Survivor-canvas materialization: gather | rows | pallas
@@ -356,7 +361,7 @@ class Detector:
         # true per-compaction counts)
         mxu_tail = self._mxu_tail_enabled()
         if origins is not None:
-            assert mxu_tail, "banded scans require the MXU-tail program"
+            mxu_tail = True  # banded scans require the grouped program
         groups = F.group_scales(tuple(scales)) if mxu_tail else None
         budgets = (
             F.default_budgets2(tuple(scales), groups, B, self.T)
