@@ -74,15 +74,21 @@ def canvas_pallas(
     tab = jnp.stack([b_idx, y, x], axis=1).astype(jnp.int32)  # [Np, 3]
 
     def kernel(tab_ref, img_ref, out_ref):
+        # tab rides SMEM as ONE full-shape block (Mosaic rejects blocked
+        # SMEM specs whose trailing dims aren't (8,128)-divisible); each
+        # grid step indexes its LB rows by program id, like the dense
+        # kernels (ops/dense0.py:316-328).
+        g0 = pl.program_id(0) * LB
+
         def body(bufs, sems):
             for l in range(LB):
-                yl = tab_ref[l, 1]
-                xl = tab_ref[l, 2]
+                yl = tab_ref[g0 + l, 1]
+                xl = tab_ref[g0 + l, 2]
                 y_al = pl.multiple_of((yl // 8) * 8, 8)
                 x_al = pl.multiple_of((xl // 128) * 128, 128)
                 pltpu.make_async_copy(
                     img_ref.at[
-                        tab_ref[l, 0], pl.ds(y_al, NYB), pl.ds(x_al, NXB)
+                        tab_ref[g0 + l, 0], pl.ds(y_al, NYB), pl.ds(x_al, NXB)
                     ],
                     bufs.at[l],
                     sems.at[l],
@@ -93,8 +99,8 @@ def canvas_pallas(
                     bufs.at[l],
                     sems.at[l],
                 ).wait()
-                ru = tab_ref[l, 1] - (tab_ref[l, 1] // 8) * 8
-                rv = tab_ref[l, 2] - (tab_ref[l, 2] // 128) * 128
+                ru = tab_ref[g0 + l, 1] - (tab_ref[g0 + l, 1] // 8) * 8
+                rv = tab_ref[g0 + l, 2] - (tab_ref[g0 + l, 2] // 128) * 128
                 buf = bufs[l]
                 rows = pltpu.roll(buf, (NYB - ru) % NYB, 0)[:S, :]
                 vals = pltpu.roll(rows, (NXB - rv) % NXB, 1)[:, :S]
@@ -110,7 +116,7 @@ def canvas_pallas(
         kernel,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((LB, 3), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(tab.shape, lambda g: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(

@@ -59,32 +59,40 @@ def rand_affine(rng, lm, scale=(0.88, 1.15), rot_deg=15.0, trans=0.05):
 
 def draw_face_structure(rng, img, lm, keep=None):
     """Landmark blobs + brightness bands shared by faces and near-face
-    distractors (per-instance darkness/strength)."""
+    distractors (per-instance darkness/strength).
+
+    Everything is SCALE-PROPORTIONAL (blob radius, band thickness ~ size):
+    a detection window samples a larger face by truncated coordinate
+    scaling (c/jda.c:375-381 semantics — subsampling, no averaging), so a
+    face rendered at 2x must subsample to the same structure the model
+    trained on; fixed-pixel blobs vanish under subsampling and killed
+    round-3's first scene eval (PERF.md)."""
     size = img.shape[0]
     dark = int(rng.integers(10, 60))
+    r = max(1, size // 24)  # blob radius ~ 1 at the 48px training scale
     if keep is None:
         keep = np.ones(len(lm), bool)
     for (gx, gy), kp in zip(lm, keep):
         if not kp:
             continue
         x, y = int(gx * size), int(gy * size)
-        img[max(y - 1, 0) : y + 2, max(x - 1, 0) : x + 2] = dark
+        img[max(y - r, 0) : y + r + 1, max(x - r, 0) : x + r + 1] = dark
     # forehead band + cheek highlights, placed relative to the eyes/brows
     ys = int(np.clip(lm[:6, 1].min() * size, 2, size - 2))
+    bh = max(3, size // 16)
     if rng.random() > 0.15:
         img[max(ys - size // 6, 0) : ys, size // 4 : 3 * size // 4] += int(
             rng.integers(25, 75)
         )
     if rng.random() > 0.4:
-        cy = int(np.clip(lm[13, 1] * size, 3, size - 4))
+        cy = int(np.clip(lm[13, 1] * size, 3, size - bh - 1))
         ch = int(rng.integers(15, 50))
-        img[cy : cy + 3, size // 8 : size // 4] += ch
-        img[cy : cy + 3, 3 * size // 4 : 7 * size // 8] += ch
+        img[cy : cy + bh, size // 8 : size // 4] += ch
+        img[cy : cy + bh, 3 * size // 4 : 7 * size // 8] += ch
 
 
-def make_face(rng, size, jitter=0.018):
-    """A positive: random-pose landmark template (rand_affine) + small
-    per-landmark jitter + varying brightness/contrast/noise."""
+def _render_face(rng, size, jitter=0.018):
+    """Face structure at native `size` (no window jitter)."""
     base = int(rng.integers(85, 175))
     spread = int(rng.integers(15, 45))
     img = rng.integers(base - spread, base + spread, (size, size)).astype(
@@ -95,6 +103,50 @@ def make_face(rng, size, jitter=0.018):
     draw_face_structure(rng, img, lm)
     img += rng.integers(-12, 13, (size, size))
     return np.clip(img, 0, 255).astype(np.uint8), lm.reshape(-1)
+
+
+def subsample_window(canvas, x0, y0, w, out):
+    """Sample an out*out patch from canvas window (x0, y0, w) by the
+    detector's coordinate map: patch[y, x] = canvas[y0 + trunc(y*w/out),
+    x0 + trunc(x*w/out)] (the C scan evaluates features on the original
+    pixels at truncated scaled coords, c/jda.c:375-381 — windows are
+    never actually resized)."""
+    idx = (np.arange(out) * w) // out
+    return canvas[np.asarray(y0 + idx)[:, None], np.asarray(x0 + idx)[None, :]]
+
+
+def make_face(rng, size, jitter=0.018, windowed=True):
+    """A positive, generated the way DETECTION will see it: render the
+    face at a random larger scale R, surround it with clutter margin,
+    then subsample a jittered window back to `size` through the same
+    truncated coordinate map the scan ladder uses.
+
+    The window jitter (scale 0.95-1.2, center ±5%) teaches the cascade
+    the tolerance band the C-API ladder's quantization demands (scale
+    steps of 1.25x, spatial steps of 0.1*win) — without it the scene-eval
+    recall collapses to ~2% (round-3 PERF.md).  GT landmarks are mapped
+    into window coords, so the joint regressor learns to snap from the
+    mean-shape init to the true (jittered) position, exactly the
+    reference's random-shift design (data.cpp:225-253)."""
+    if not windowed:
+        return _render_face(rng, size, jitter)
+    R = int(rng.integers(size, 3 * size + 1))
+    face, lm = _render_face(rng, R, jitter)
+    # clutter margin so jittered windows never read out of bounds
+    m = (R // 3) + 2
+    C = R + 2 * m
+    canvas = rng.integers(40, 215, (C, C)).astype(np.uint8)
+    canvas[m : m + R, m : m + R] = face
+    lm = lm.reshape(-1, 2) * R + m
+    # jittered window (in canvas coords)
+    w = int(round(R * rng.uniform(0.95, 1.2)))
+    cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+    cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+    x0 = int(np.clip(round(cx - w / 2), 0, C - w))
+    y0 = int(np.clip(round(cy - w / 2), 0, C - w))
+    patch = subsample_window(canvas, x0, y0, w, size)
+    out_lm = (lm - (x0, y0)) / w
+    return patch.astype(np.uint8), np.clip(out_lm, 0.0, 1.0).reshape(-1)
 
 
 def make_bg(rng, size=220):
@@ -138,6 +190,35 @@ def make_bg(rng, size=220):
         patch[:] = rng.integers(base - spread, base + spread, (s, s))
         draw_face_structure(rng, patch, lm, keep)
         patch += rng.integers(-12, 13, (s, s))
+    # Edge-clipped TRUE faces (structure at positive-level jitter, but
+    # with the face center outside the tile so no window inside the tile
+    # can reach IoU >= 0.5 with the face box): unlimited deep-stage
+    # hard-negative supply — "half a face" is exactly what the detector
+    # must reject at off-by-one ladder positions, and unlike near-face
+    # distractors these never run dry as the cascade sharpens (round-3
+    # mining exhaustion, PERF.md).  Classic bg-corpus trick; the tile
+    # stays a legitimate no-face background.
+    for _ in range(4):
+        s = int(rng.integers(40, 110))
+        face, _lm = _render_face(rng, s)
+        side = int(rng.integers(0, 4))
+        cut = int(rng.integers(s // 2 + 2, s - 4))  # visible strip < half
+        if side == 0:  # left edge: right part of face visible
+            h = min(s, size)
+            y0 = int(rng.integers(0, size - h + 1))
+            bg[y0 : y0 + h, 0 : s - cut] = face[:h, cut:]
+        elif side == 1:  # right edge: left part visible
+            h = min(s, size)
+            y0 = int(rng.integers(0, size - h + 1))
+            bg[y0 : y0 + h, size - (s - cut) :] = face[:h, : s - cut]
+        elif side == 2:  # top edge: bottom part visible
+            w = min(s, size)
+            x0 = int(rng.integers(0, size - w + 1))
+            bg[0 : s - cut, x0 : x0 + w] = face[cut:, :w]
+        else:  # bottom edge: top part visible
+            w = min(s, size)
+            x0 = int(rng.integers(0, size - w + 1))
+            bg[size - (s - cut) :, x0 : x0 + w] = face[: s - cut, :w]
     return np.clip(bg, 0, 255).astype(np.uint8)
 
 
@@ -224,7 +305,9 @@ def main():
         )
 
     tr = Trainer(c)
-    tr.mining_max_batches = 150
+    # the miner stops as soon as the quota fills, so a high cap only costs
+    # wall-clock when supply is genuinely thin (deep stages)
+    tr.mining_max_batches = 400
     tr.mining_batch = 8192
     rng = np.random.default_rng(7)
     if args.resume:
