@@ -1013,3 +1013,77 @@ class NegGenerator:
             np.concatenate(acc_shapes),
             stats,
         )
+
+    # -- on-demand hard-candidate stream --------------------------------
+
+    def load_hard_factory(self, factory: Callable[[int], np.ndarray]) -> None:
+        """Unbounded pre-registered hard-candidate supply.
+
+        The reference consumes a finite pre-collected hard pool before
+        scanning backgrounds (data.cpp:893-897, loaded at 1102-1196).
+        `factory(i)` must deterministically return a square uint8 patch —
+        a candidate already registered to the detection window (unlike
+        scan windows, which rarely align with tile content).  The trainer
+        draws on this stream only when the background scan under-delivers
+        (generate_hard), so early-stage pools keep the scan's texture
+        diversity and deep stages get an inexhaustible supply of
+        near-misses the cascade must learn to reject."""
+        self.hard_factory = factory
+        self._hard_cursor = 0
+
+    def generate_hard(
+        self,
+        validate_fn: Callable,
+        size: int,
+        batch: int = 512,
+        max_batches: int = 200,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+        """Mine up to `size` accepted patches from the hard factory.
+        Same contract as generate(); candidates are validated by the
+        current partial cascade exactly like scan windows (the hard pool
+        is a *proposal* stream, acceptance is always Validate's call —
+        data.cpp:983-987)."""
+        c = self.c
+        factory = getattr(self, "hard_factory", None)
+        assert factory is not None, "load_hard_factory first"
+        acc_rows, acc_scores, acc_shapes = [], [], []
+        nega_n = 0
+        carts_n = 0
+        got = 0
+        n_batches = 0
+        D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+        while got < size and n_batches < max_batches:
+            n_batches += 1
+            rows = np.zeros((batch, D), np.uint8)
+            for b in range(batch):
+                rows[b] = patch_row(factory(self._hard_cursor), c)
+                self._hard_cursor += 1
+            ok, score, shape, nvis = validate_fn(rows)
+            nega_n += int((~ok).sum())
+            carts_n += int(nvis[~ok].sum())
+            take = np.flatnonzero(ok)[: size - got]
+            if len(take):
+                acc_rows.append(rows[take])
+                acc_scores.append(score[take])
+                acc_shapes.append(shape[take])
+                got += len(take)
+        stats = {
+            "exhausted": got < size,
+            "not_hard": nega_n,
+            "avg_reject_carts": carts_n / max(nega_n, 1),
+            "fp_rate": got / max(got + nega_n, 1),
+            "bg_used": 0,
+        }
+        if not acc_rows:
+            return (
+                np.zeros((0, D), np.uint8),
+                np.zeros(0),
+                np.zeros((0, c.landmark_dim)),
+                stats,
+            )
+        return (
+            np.concatenate(acc_rows),
+            np.concatenate(acc_scores),
+            np.concatenate(acc_shapes),
+            stats,
+        )

@@ -835,7 +835,30 @@ class Trainer:
             f"{stats['avg_reject_carts']:.2f}"
             + (" [background pool exhausted]" if stats["exhausted"] else "")
         )
-        return len(rows)
+        mined = len(rows)
+        # Deep-stage top-up: once the background scan under-delivers, draw
+        # pre-registered candidates from the hard factory (the reference's
+        # hard pool, data.cpp:893-897 — ours is on-demand, so it never runs
+        # dry the way round-3's bounded scan did at stage 2+).
+        shortfall = want - mined
+        if shortfall > 0 and getattr(self.neg_gen, "hard_factory", None):
+            t1 = time.time()
+            hrows, hscores, hshapes, hstats = self.neg_gen.generate_hard(
+                validator,
+                shortfall,
+                batch=self.mining_batch,
+                max_batches=max(self.mining_max_batches // 4, 8),
+            )
+            if len(hrows):
+                self.neg.append_negatives(
+                    hrows, hscores, hshapes, self.model.mean_shape
+                )
+            log(
+                f"hard-factory top-up: {len(hrows)}/{shortfall} in "
+                f"{time.time()-t1:.1f}s; FP={hstats['fp_rate']:.6f}"
+            )
+            mined += len(hrows)
+        return mined
 
     # -- stage training (BoostCart::Train, btcart.cpp:120-317) ---------------
 

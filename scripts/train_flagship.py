@@ -91,8 +91,26 @@ def draw_face_structure(rng, img, lm, keep=None):
         img[cy : cy + bh, 3 * size // 4 : 7 * size // 8] += ch
 
 
-def _render_face(rng, size, jitter=0.018):
-    """Face structure at native `size` (no window jitter)."""
+def band_limit(img_u8, stride=1.0):
+    """Blur so content survives resampling at `stride` unchanged in
+    distribution.  CRITICAL for synthetic data: positives are subsampled
+    (truncated coord map, like the detection scan) while mined negatives
+    are bilinear-resized (the device miner's MXU taps) — with full-
+    amplitude per-pixel noise those two treatments differ in texture
+    statistics, and the cascade learns THAT instead of face structure
+    (both round-3 retrains collapsed mining to FP=0 this way).  Band-
+    limited content is sampling-method agnostic, like real photographs."""
+    import cv2
+
+    sigma = max(0.6, 0.6 * stride)
+    return cv2.GaussianBlur(
+        img_u8.astype(np.uint8), (0, 0), sigmaX=sigma, sigmaY=sigma
+    )
+
+
+def _render_face(rng, size, jitter=0.018, raw=False):
+    """Face structure at native `size` (no window jitter).  raw=True
+    skips the band-limit (for callers that blur after compositing)."""
     base = int(rng.integers(85, 175))
     spread = int(rng.integers(15, 45))
     img = rng.integers(base - spread, base + spread, (size, size)).astype(
@@ -102,7 +120,10 @@ def _render_face(rng, size, jitter=0.018):
     lm = np.clip(lm, 0.04, 0.96)
     draw_face_structure(rng, img, lm)
     img += rng.integers(-12, 13, (size, size))
-    return np.clip(img, 0, 255).astype(np.uint8), lm.reshape(-1)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if raw:
+        return img, lm.reshape(-1)
+    return band_limit(img, size / 48.0), lm.reshape(-1)
 
 
 def subsample_window(canvas, x0, y0, w, out):
@@ -131,12 +152,13 @@ def make_face(rng, size, jitter=0.018, windowed=True):
     if not windowed:
         return _render_face(rng, size, jitter)
     R = int(rng.integers(size, 3 * size + 1))
-    face, lm = _render_face(rng, R, jitter)
+    face, lm = _render_face(rng, R, jitter, raw=True)
     # clutter margin so jittered windows never read out of bounds
     m = (R // 3) + 2
     C = R + 2 * m
     canvas = rng.integers(40, 215, (C, C)).astype(np.uint8)
     canvas[m : m + R, m : m + R] = face
+    canvas = band_limit(canvas, R / 48.0)  # face + margin in one pass
     lm = lm.reshape(-1, 2) * R + m
     # jittered window (in canvas coords)
     w = int(round(R * rng.uniform(0.95, 1.2)))
@@ -219,7 +241,71 @@ def make_bg(rng, size=220):
             w = min(s, size)
             x0 = int(rng.integers(0, size - w + 1))
             bg[size - (s - cut) :, x0 : x0 + w] = face[: s - cut, :w]
-    return np.clip(bg, 0, 255).astype(np.uint8)
+    # mining windows (w -> 48 bilinear) must see the same texture
+    # statistics positives carry — see band_limit
+    return band_limit(np.clip(bg, 0, 255).astype(np.uint8), 1.5)
+
+
+def make_near_miss(rng, size=48):
+    """A pre-registered near-miss candidate for the hard-negative factory
+    (NegGenerator.load_hard_factory).
+
+    Round 3's mining starved at stage 2+ because scan windows almost never
+    REGISTER with tile content inside the tolerance band the windowed
+    positives teach — so the cascade rejects every scan window trivially
+    and the supply dries up (FP -> 0 over 3.3M windows).  These candidates
+    are built by the SAME windowed rendering as positives (identical
+    nuisance statistics: band-limit, subsample map, clutter margin) but
+    differ in exactly one labeled way, each a thing a detector must reject
+    around a true face:
+
+      mode 0  off-scale window (w/R in [0.45,0.65] or [1.5,2.5]; IoU < .5)
+      mode 1  off-center window (offset 0.25-0.55 R; IoU < .5)
+      mode 2  registered window, landmarks off-manifold (jitter 2.5-5x
+              the positives' 0.018)
+      mode 3  registered window, structural band occluded/erased
+
+    Like the reference's hard pool (data.cpp:893-897), every candidate is
+    still validated by the current cascade before becoming a negative."""
+    mode = int(rng.integers(0, 4))
+    R = int(rng.integers(size, 2 * size + 1))
+    jitter = float(rng.uniform(0.045, 0.09)) if mode == 2 else 0.018
+    face, _lm = _render_face(rng, R, jitter, raw=True)
+    if mode == 3:
+        y0 = int(rng.uniform(0.15, 0.6) * R)
+        hgt = int(rng.uniform(0.2, 0.35) * R)
+        face[y0 : y0 + hgt] = int(rng.integers(40, 215))
+    m = R  # margin wide enough for 2.5x off-scale windows
+    Csz = 3 * R
+    canvas = rng.integers(40, 215, (Csz, Csz)).astype(np.uint8)
+    canvas[m : m + R, m : m + R] = face
+    canvas = band_limit(canvas, R / 48.0)
+    if mode == 0:
+        w = int(
+            round(
+                R
+                * (
+                    rng.uniform(1.5, 2.5)
+                    if rng.random() < 0.5
+                    else rng.uniform(0.45, 0.65)
+                )
+            )
+        )
+        cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+        cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+    elif mode == 1:
+        w = int(round(R * rng.uniform(0.95, 1.2)))
+        ang = rng.uniform(0, 2 * np.pi)
+        d = rng.uniform(0.25, 0.55) * R
+        cx = m + R / 2 + np.cos(ang) * d
+        cy = m + R / 2 + np.sin(ang) * d
+    else:
+        w = int(round(R * rng.uniform(0.95, 1.2)))
+        cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+        cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+    x0 = int(np.clip(round(cx - w / 2), 0, Csz - w))
+    y0 = int(np.clip(round(cy - w / 2), 0, Csz - w))
+    return subsample_window(canvas, x0, y0, w, size).astype(np.uint8)
 
 
 def flagship_config():
@@ -339,6 +425,10 @@ def main():
             [],
             neg_factory=lambda i: make_bg(np.random.default_rng(7_000_000 + i)),
         )
+    # unlimited pre-registered near-miss supply for deep-stage mining
+    tr.neg_gen.load_hard_factory(
+        lambda i: make_near_miss(np.random.default_rng(9_000_000 + i), c.img_o_size)
+    )
     e0 = calc_mean_error(
         tr.pos.gt_shapes[tr.pos.live],
         tr.pos.current_shapes[tr.pos.live],

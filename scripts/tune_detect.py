@@ -23,6 +23,7 @@ QUICK = [
 ]
 
 FULL = QUICK + [
+    ("v1 gather tail B=16", {"JDA_TPU_TAIL": "gather", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
     ("mxu canvas=rows B=16", {"JDA_TPU_CANVAS": "rows", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
     ("mxu canvas=pallas B=16", {"JDA_TPU_CANVAS": "pallas", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
     ("mxu canvas=pallas B=32", {"JDA_TPU_CANVAS": "pallas", "BENCH_BATCH": "32", "BENCH_CHUNKS": "2"}),

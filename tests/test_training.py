@@ -388,3 +388,28 @@ def test_restart_path():
     tr.set_synthetic_data(rows, gts, bgs)
     tr.train()  # completes despite constant restarts (best-cart fallback)
     assert tr.model.stage_idx == 1
+
+
+def test_hard_factory_topup(monkeypatch):
+    """When the background scan under-delivers, more_neg_samples tops up
+    from the on-demand hard factory (reference hard-pool channel,
+    data.cpp:893-897) — every candidate still gated by the cascade."""
+    monkeypatch.setenv("JDA_TPU_DEVICE_MINER", "0")
+    c = _tiny_config()
+    tr = Trainer(c)
+    tr.mining_max_batches = 2  # starve the scan on purpose
+    tr.mining_batch = 16  # scan can deliver at most 32 < want
+    rows, gts, bgs = build_synthetic(c, n_pos=64, n_bg=1)
+    tr.set_synthetic_data(rows, gts, bgs)
+    rng = np.random.default_rng(3)
+    tr.neg_gen.load_hard_factory(
+        lambda i: np.random.default_rng(i)
+        .integers(0, 256, (c.img_o_size, c.img_o_size))
+        .astype(np.uint8)
+    )
+    mined = tr.more_neg_samples(0, 0)  # untrained cascade accepts all
+    want = int(c.nps[0] * tr.pos.size)
+    assert mined == want, (mined, want)
+    assert tr.neg.size == want
+    cursor0 = tr.neg_gen._hard_cursor
+    assert cursor0 > 0  # the factory was actually consulted
