@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -357,12 +358,41 @@ class Detector:
         )
         if use_pallas:
             tabs_dev = D0.mixed_tables(tabs, scales, self.params.node_n)
+        # small-grid scales run the static-slice filter: their HOST node
+        # tables are closed over by the fused program (never traced) so
+        # every crop is a fusable lax.slice instead of a ~4 us
+        # unfusable dynamic_slice kernel (ops/dense0.py)
+        static_on = (
+            use_pallas
+            and os.environ.get("JDA_TPU_DENSE_STATIC", "1") != "0"
+        )
+        static_tabs = (
+            tuple(
+                t
+                if (static_on and ny_ * nx_ <= D0.STATIC_MAX_WINDOWS)
+                else None
+                for t, (_, _, ny_, nx_) in zip(tabs, scales)
+            )
+            if use_pallas
+            else None
+        )
         # budgets self-tune upward on overflow (the program returns
         # true per-compaction counts)
         mxu_tail = self._mxu_tail_enabled()
         if origins is not None:
             mxu_tail = True  # banded scans require the grouped program
-        groups = F.group_scales(tuple(scales)) if mxu_tail else None
+            # ... but not necessarily the MXU canvas tail: fn2's gather
+            # groups handle band origins too (xywin is already in canvas
+            # coords; origins only localize the dims mask), and the VGA
+            # A/B showed the gather tail 1.7x faster at small survivor
+            # populations.  JDA_TPU_BUCKETS=none routes every scale to
+            # the gather tail; "default" keeps the canvas buckets.
+            if os.environ.get("JDA_TPU_BUCKETS", "none") == "none":
+                groups = F.group_scales(tuple(scales), buckets=())
+            else:
+                groups = F.group_scales(tuple(scales))
+        else:
+            groups = F.group_scales(tuple(scales)) if mxu_tail else None
         budgets = (
             F.default_budgets2(tuple(scales), groups, B, self.T)
             if mxu_tail
@@ -379,6 +409,7 @@ class Detector:
             if len(x)
             else None,
             "tabs": tabs_dev,
+            "static_tabs": static_tabs,
             "budgets": budgets,
             "groups": groups,
             "use_pallas": use_pallas,
@@ -408,6 +439,7 @@ class Detector:
                     rounding=plan["rounding"],
                     origins=plan.get("origins"),
                     canvas_mode=self._canvas_mode(),
+                    static_tabs=plan.get("static_tabs"),
                 )
             else:
                 plan["fn"] = F.make_fused_fn(
@@ -420,6 +452,7 @@ class Detector:
                     budgets=plan["budgets"],
                     use_pallas=plan["use_pallas"],
                     rounding=plan["rounding"],
+                    static_tabs=plan.get("static_tabs"),
                 )
         return plan
 

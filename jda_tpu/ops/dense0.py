@@ -117,7 +117,21 @@ def _phase_decompose(
     )
 
 
-CART_BLOCK = 12  # carts per scan iteration (amortizes loop overhead)
+# Carts per scan iteration.  The XLA scan pays a roughly fixed per-
+# iteration cost (kernel launches + crop DMAs that don't overlap across
+# iterations), so fewer, fatter iterations win until the unrolled body's
+# compile time / VMEM bites (A/B via scripts/profile_detect.py).
+import os as _os
+
+CART_BLOCK = int(_os.environ.get("JDA_TPU_CART_BLOCK", "12"))
+
+# Phase-plane storage dtype.  The filter is HBM-bandwidth bound on its
+# 540 x 7 x 2 crop reads per scale (measured: CART_BLOCK made no
+# difference, per-crop time tracks bytes at ~350 GB/s), so narrower
+# planes cut the wall proportionally: pixels are u8, diffs fit in i16,
+# and the compare/score chain still runs in f32/i32 registers.
+_PLANE_DTYPES = {"i32": jnp.int32, "i16": jnp.int16, "u8": jnp.uint8}
+PLANE_DTYPE = _PLANE_DTYPES[_os.environ.get("JDA_TPU_DENSE_DTYPE", "i32")]
 
 
 def _scale_filter(img, tabs, *, step, ny, nx, depth):
@@ -129,7 +143,7 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
     iterations for the same arithmetic.
     """
     B = img.shape[0]
-    ph = _phase_decompose(img, step)
+    ph = _phase_decompose(img, step).astype(PLANE_DTYPE)
     node_n = (1 << (depth - 1)) - 1
     K = tabs["th"].shape[0]
 
@@ -164,7 +178,9 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
                 p2 = jax.lax.dynamic_slice(
                     ph, (0, x["pi2"][j], x["u2"][j], x["v2"][j]), (B, 1, ny, nx)
                 )[:, 0]
-                return p1 - p2
+                # widen AFTER the crop lands: the HBM read rides the
+                # narrow plane dtype, the subtract runs in i32 registers
+                return p1.astype(jnp.int32) - p2.astype(jnp.int32)
 
             vals = [val(j) for j in range(node_n)]
             bits = []
@@ -192,6 +208,107 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
         jnp.zeros((B, ny, nx), jnp.int32),
     )
     (score, alive, nvis), _ = jax.lax.scan(body, init, blocked)
+    return score, alive, nvis
+
+
+# windows per grid under which the static-slice filter applies (small
+# grids are latency-bound: every dynamic_slice is an unfusable ~4 us
+# kernel, so 540 x 14 of them cost ~30 ms per scale no matter how tiny
+# the tensors are — measured in scripts/profile_dense2.py)
+STATIC_MAX_WINDOWS = int(_os.environ.get("JDA_TPU_DENSE_STATIC_MAX", "2500"))
+
+
+def _scale_filter_static(img, tab_dev, tab_host, *, step, ny, nx, depth):
+    """Small-grid scales: pre-gather every tap's grid in ONE constant-
+    index gather, then run the cart chain as pure elementwise scan work.
+
+    A dynamic_slice with traced starts cannot fuse into the consumer on
+    XLA:TPU — each is a standalone ~4 us kernel, and the 7 small scales
+    of a VGA ladder pay 7 x 540 x 14 of them (~200 ms for 2k windows,
+    scripts/profile_dense2.py).  The crop coordinates are host data
+    (node_tables output), so all K*14 taps become one vmap'd
+    dynamic_slice over a CONSTANT index table — a single XLA gather of
+    [B, 1, ny, nx] blocks — and the tree/score chain consumes the
+    materialized diffs with zero per-iteration HBM slicing.  Arithmetic
+    is bit-identical to _scale_filter (same int32 diffs, same f32 score
+    chain order)."""
+    B = img.shape[0]
+    node_n = (1 << (depth - 1)) - 1
+    K = int(tab_host["th"].shape[0])
+    ph = _phase_decompose(img, step)
+
+    taps = np.stack(
+        [
+            np.stack(
+                [tab_host["pi1"], tab_host["u1"], tab_host["v1"]], axis=-1
+            ),
+            np.stack(
+                [tab_host["pi2"], tab_host["u2"], tab_host["v2"]], axis=-1
+            ),
+        ],
+        axis=2,
+    )  # [K, node_n, 2, 3]
+    flat = jnp.asarray(taps.reshape(-1, 3).astype(np.int32))
+
+    def one(sidx):
+        return jax.lax.dynamic_slice(
+            ph, (0, sidx[0], sidx[1], sidx[2]), (B, 1, ny, nx)
+        )[:, 0]
+
+    vals = jax.vmap(one)(flat).reshape(K, node_n, 2, B, ny, nx)
+    diffs = vals[:, :, 0] - vals[:, :, 1]  # [K, node_n, B, ny, nx]
+
+    kb = min(CART_BLOCK * 9, K)
+    kpad = (-K) % kb
+
+    def padk(a, fill):
+        return (
+            jnp.pad(
+                a,
+                [(0, kpad)] + [(0, 0)] * (a.ndim - 1),
+                constant_values=fill,
+            )
+            if kpad
+            else a
+        )
+
+    xs = {
+        "d": padk(diffs, 0).reshape((-1, kb) + diffs.shape[1:]),
+        "th": padk(tab_dev["th"], 0).reshape(-1, kb, node_n),
+        "ls": padk(tab_dev["ls"], 0.0).reshape(-1, kb, node_n + 1),
+        "mean": padk(tab_dev["mean"], 0.0).reshape(-1, kb),
+        "std": padk(tab_dev["std"], 1.0).reshape(-1, kb),
+        "cth": padk(tab_dev["cth"], -jnp.inf).reshape(-1, kb),
+    }
+
+    def body(carry, xb):
+        s, alive, nvis = carry
+        for ci in range(kb):
+            vals_c = xb["d"][ci]  # [node_n, B, ny, nx]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    vals_c[j] > xb["th"][ci, j]
+                    for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(_bit_select(planes, bits))
+            leaf_planes = [
+                jnp.broadcast_to(xb["ls"][ci, j], s.shape)
+                for j in range(node_n + 1)
+            ]
+            b = _bit_select(leaf_planes, bits)
+            s_new = (s + b - xb["mean"][ci]) / xb["std"][ci]
+            s = jnp.where(alive, s_new, s)
+            nvis = nvis + alive.astype(jnp.int32)
+            alive = alive & (s >= xb["cth"][ci])
+        return (s, alive, nvis), None
+
+    init = (
+        jnp.zeros((B, ny, nx), jnp.float32),
+        jnp.ones((B, ny, nx), bool),
+        jnp.zeros((B, ny, nx), jnp.int32),
+    )
+    (score, alive, nvis), _ = jax.lax.scan(body, init, xs)
     return score, alive, nvis
 
 
@@ -566,6 +683,161 @@ def _scale_filter_pallas_resident(
     )
 
 
+_ROLLED_VMEM_BUDGET = int(
+    _os.environ.get("JDA_TPU_DENSE_ROLLED_BUDGET", str(13_500_000))
+)
+
+
+def _rolled_fits(geom: dict) -> bool:
+    """VMEM budget check for the pre-rolled-planes kernel: the i32 input
+    block + the s2*(umax+1) int8 rolled variants must fit scoped VMEM."""
+    s2, Hp, Wp = geom["s2"], geom["Hp"], geom["Wp"]
+    inp = s2 * Hp * Wp * 4
+    scratch = s2 * (geom["umax"] + 1) * Hp * Wp
+    return inp + scratch <= _ROLLED_VMEM_BUDGET
+
+
+def _scale_filter_pallas_rolled(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabi: jnp.ndarray,
+    tabf: jnp.ndarray,
+    *,
+    step: int,
+    ny: int,
+    nx: int,
+    depth: int,
+    geom: dict,
+):
+    """Resident kernel with PRE-LANE-ROLLED int8 phase planes.
+
+    The plain resident kernel pays a dynamic 2D roll per crop — the lane
+    rotate alone lowers to a multi-stage select ladder across 128 lanes,
+    and 540 carts x 14 crops of it dominate the dense wall (win24 scale:
+    ~110 ms device, scripts/profile_dense2.py).  Lane shifts are bounded
+    by umax = (win-1)//step < 128, so ALL s2*(umax+1) lane rotations are
+    precomputed ONCE per image with STATIC shifts into an int8 VMEM
+    scratch (pixels biased by -128 to fit int8; pixel DIFFERENCES are
+    unchanged, and thresholds compare diffs only).  Each crop is then a
+    dynamic plane-index read plus a cheap dynamic SUBLANE-only roll."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = img.shape[0]
+    K = tabi.shape[0]
+    node_n = (1 << (depth - 1)) - 1
+    leaf_n = node_n + 1
+    ny8, nx128 = geom["ny8"], geom["nx128"]
+    umax, NYB = geom["umax"], geom["NYB"]
+    Hp, Wp = geom["Hp"], geom["Wp"]
+    s2 = geom["s2"]
+    NV = umax + 1
+    ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+
+    def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref,
+               rolled):
+        # -- static lane rotations, once per image --------------------
+        for pi in range(s2):
+            plane = ph_ref[0, pi]  # [Hp, Wp] int32
+            for v in range(NV):
+                sh = pltpu.roll(plane, (Wp - v) % Wp, 1) if v else plane
+                rolled[pi * NV + v] = (sh - 128).astype(jnp.int8)
+
+        def crop(k, o):
+            pi = tabi_ref[k, o]
+            u = tabi_ref[k, o + 1]
+            v = tabi_ref[k, o + 2]
+            u_al = pl.multiple_of((u // 8) * 8, 8)
+            buf = rolled[
+                pi * NV + v, pl.ds(u_al, NYB), :nx128
+            ].astype(jnp.int32)
+            ru = u - u_al
+            return pltpu.roll(buf, (NYB - ru) % NYB, 0)[:ny8, :]
+
+        def bit_sel(planes, bits_i32):
+            if not bits_i32:
+                return planes[0]
+            half = len(planes) // 2
+            return jnp.where(
+                bits_i32[0] != 0,
+                bit_sel(planes[half:], bits_i32[1:]),
+                bit_sel(planes[:half], bits_i32[1:]),
+            )
+
+        score_ref[0] = jnp.zeros((ny8, nx128), jnp.float32)
+        alive_ref[0] = jnp.ones((ny8, nx128), jnp.int32)
+        nvis_ref[0] = jnp.zeros((ny8, nx128), jnp.int32)
+
+        def cart_body(k, _):
+            s = score_ref[0]
+            al = alive_ref[0]
+            vals = [crop(k, 6 * j) - crop(k, 6 * j + 3) for j in range(node_n)]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    (vals[j] > tabi_ref[k, 6 * node_n + j]).astype(jnp.int32)
+                    for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(bit_sel(planes, bits))
+            leaf_planes = [
+                jnp.full((ny8, nx128), tabf_ref[k, j], jnp.float32)
+                for j in range(leaf_n)
+            ]
+            b = bit_sel(leaf_planes, bits)
+            alb = al != 0
+            s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
+            s = jnp.where(alb, s_new, s)
+            score_ref[0] = s
+            nvis_ref[0] = nvis_ref[0] + al
+            alive_ref[0] = jnp.where(
+                alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, K, cart_body, 0)
+
+    score, alive, nvis = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                tabi.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                tabf.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, s2, Hp, Wp),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s2 * NV, Hp, Wp), jnp.int8),
+        ],
+    )(tabi, tabf, ph)
+    return (
+        score[:, :ny, :nx],
+        alive[:, :ny, :nx] != 0,
+        nvis[:, :ny, :nx],
+    )
+
+
 def _scale_filter_pallas_tiled(
     img: jnp.ndarray,  # [B, H, W] int32
     tabi: jnp.ndarray,
@@ -731,16 +1003,43 @@ def stage0_filter_mixed(
     *,
     meta: Tuple[Tuple[int, int, int, int], ...],
     depth: int,
+    static_tabs=None,  # per-scale HOST node_tables (or None) — closed
+    # over, never traced; enables the static-slice path for small grids
 ):
     """Full stage-0: resident Pallas kernel where the phase planes fit in
-    VMEM, XLA scan elsewhere.  Output layout identical to
+    VMEM, static-slice unroll for small grids (when host tables are
+    provided), XLA scan elsewhere.  Output layout identical to
     stage0_filter_all_scales."""
     B, H, W = img.shape
     scores, alives, nviss = [], [], []
-    for (win, step, ny, nx), tab in zip(meta, tabs):
+    for i, ((win, step, ny, nx), tab) in enumerate(zip(meta, tabs)):
         geom = _resident_geom(H, W, win, step, ny, nx)
-        if geom is not None and geom["ctile"] is not None:
+        st = static_tabs[i] if static_tabs is not None else None
+        if (
+            geom is None
+            and st is not None
+            and ny * nx <= STATIC_MAX_WINDOWS
+        ):
+            s, a, nv = _scale_filter_static(
+                img, tab, st, step=step, ny=ny, nx=nx, depth=depth
+            )
+        elif geom is not None and geom["ctile"] is not None:
             s, a, nv = _scale_filter_pallas_tiled(
+                img,
+                tab["tabi"],
+                tab["tabf"],
+                step=step,
+                ny=ny,
+                nx=nx,
+                depth=depth,
+                geom=geom,
+            )
+        elif (
+            geom is not None
+            and _rolled_fits(geom)
+            and _os.environ.get("JDA_TPU_DENSE_ROLLED", "1") != "0"
+        ):
+            s, a, nv = _scale_filter_pallas_rolled(
                 img,
                 tab["tabi"],
                 tab["tabf"],

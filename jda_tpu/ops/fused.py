@@ -114,6 +114,8 @@ def make_fused_fn(
     # [1, T-2].  Need not be powers of two — any static size compiles.
     use_pallas: bool = False,
     rounding: bool = False,  # False = C trunc (jdaDetect), True = C++ round
+    static_tabs=None,  # per-scale HOST node tables for the static-slice
+    # small-grid filter (closed over, never traced) — see ops/dense0.py
 ):
     """Build the fused program for one static geometry.  The returned fn is
     jit-compiled on first call; all dynamic data (model, images, window
@@ -136,7 +138,7 @@ def make_fused_fn(
         # -- 1. dense stage-0 over all scales --------------------------------
         if use_pallas:
             score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
-                imgs, tabs, meta=meta, depth=depth
+                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs
             )
         else:
             score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
@@ -367,6 +369,7 @@ def make_fused_fn2(
     rounding: bool = False,
     origins: Optional[Tuple[Tuple[int, int], ...]] = None,
     canvas_mode: str = "rows",  # gather | rows | pallas (materialization)
+    static_tabs=None,  # host node tables for small grids (make_fused_fn)
 ):
     """Grouped canvas-tail fused program.  Same contract as make_fused_fn:
     returns {sel, score, shape, alive, nvis, counts, total_nvis} with sel
@@ -410,7 +413,7 @@ def make_fused_fn2(
 
         if use_pallas:
             score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
-                imgs, tabs, meta=meta, depth=depth
+                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs
             )
         else:
             score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
