@@ -1027,9 +1027,28 @@ class NegGenerator:
         draws on this stream only when the background scan under-delivers
         (generate_hard), so early-stage pools keep the scan's texture
         diversity and deep stages get an inexhaustible supply of
-        near-misses the cascade must learn to reject."""
+        near-misses the cascade must learn to reject.
+
+        A two-argument factory `factory(i, difficulty)` opts into the
+        ADAPTIVE LADDER: generate_hard tracks a difficulty in [0, 1] and
+        raises it whenever a batch's acceptance rate falls under 10%
+        (lowers it above 35%).  Without adaptation the cascade's false-
+        positive rate on a fixed candidate distribution decays roughly
+        exponentially in trained carts, and each mining event costs
+        1/FP host-rendered candidates — the ladder holds acceptance (and
+        therefore mining wall-clock) roughly constant all the way to
+        stage 5 by moving candidates toward the decision boundary as the
+        cascade sharpens."""
         self.hard_factory = factory
         self._hard_cursor = 0
+        self._hard_difficulty = 0.0
+        try:
+            import inspect
+
+            n_par = len(inspect.signature(factory).parameters)
+        except (TypeError, ValueError):
+            n_par = 1
+        self._hard_adaptive = n_par >= 2
 
     def generate_hard(
         self,
@@ -1052,15 +1071,30 @@ class NegGenerator:
         got = 0
         n_batches = 0
         D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+        adaptive = getattr(self, "_hard_adaptive", False)
         while got < size and n_batches < max_batches:
             n_batches += 1
             rows = np.zeros((batch, D), np.uint8)
             for b in range(batch):
-                rows[b] = patch_row(factory(self._hard_cursor), c)
+                if adaptive:
+                    p = factory(self._hard_cursor, self._hard_difficulty)
+                else:
+                    p = factory(self._hard_cursor)
+                rows[b] = patch_row(p, c)
                 self._hard_cursor += 1
             ok, score, shape, nvis = validate_fn(rows)
             nega_n += int((~ok).sum())
             carts_n += int(nvis[~ok].sum())
+            if adaptive:
+                rate = float(ok.mean())
+                if rate < 0.10:
+                    self._hard_difficulty = min(
+                        1.0, self._hard_difficulty + 0.15
+                    )
+                elif rate > 0.35:
+                    self._hard_difficulty = max(
+                        0.0, self._hard_difficulty - 0.05
+                    )
             take = np.flatnonzero(ok)[: size - got]
             if len(take):
                 acc_rows.append(rows[take])
@@ -1073,6 +1107,7 @@ class NegGenerator:
             "avg_reject_carts": carts_n / max(nega_n, 1),
             "fp_rate": got / max(got + nega_n, 1),
             "bg_used": 0,
+            "difficulty": getattr(self, "_hard_difficulty", 0.0),
         }
         if not acc_rows:
             return (

@@ -811,11 +811,24 @@ class Trainer:
                     ),
                 )
             use_dev = self._miner.applicable
+        scan_mb = self.mining_max_batches
+        last_fp = getattr(self, "_last_scan_fp", None)
+        if (
+            last_fp is not None
+            and getattr(self.neg_gen, "hard_factory", None) is not None
+            and last_fp * self.mining_batch * scan_mb < 0.5 * want
+        ):
+            # The background scan demonstrably cannot fill the quota any
+            # more (its FP rate decays exponentially in trained carts,
+            # the reference's known exhaustion regime, data.cpp:1026-1065)
+            # — take a cheap diversity sample and let the hard factory
+            # fill the rest instead of burning minutes on a full scan.
+            scan_mb = max(self.mining_max_batches // 25, 8)
         if use_dev:
             rows, scores, shapes, stats = self._miner.generate(
                 validator,
                 want,
-                max_batches=self.mining_max_batches,
+                max_batches=scan_mb,
                 rng=self.rng,
             )
         else:
@@ -823,8 +836,9 @@ class Trainer:
                 validator,
                 want,
                 batch=self.mining_batch,
-                max_batches=self.mining_max_batches,
+                max_batches=scan_mb,
             )
+        self._last_scan_fp = stats["fp_rate"]
         if len(rows):
             self.neg.append_negatives(
                 rows, scores, shapes, self.model.mean_shape
@@ -855,7 +869,8 @@ class Trainer:
                 )
             log(
                 f"hard-factory top-up: {len(hrows)}/{shortfall} in "
-                f"{time.time()-t1:.1f}s; FP={hstats['fp_rate']:.6f}"
+                f"{time.time()-t1:.1f}s; FP={hstats['fp_rate']:.6f}, "
+                f"difficulty={hstats.get('difficulty', 0.0):.2f}"
             )
             mined += len(hrows)
         return mined

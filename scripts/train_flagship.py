@@ -246,7 +246,21 @@ def make_bg(rng, size=220):
     return band_limit(np.clip(bg, 0, 255).astype(np.uint8), 1.5)
 
 
-def make_near_miss(rng, size=48):
+def _window_face_iou(cx, cy, w, fx, fy, R):
+    """IoU of a square window (center cx,cy, size w) with the face box
+    (corner fx,fy, size R) — the same overlap the scene eval scores."""
+    x0, y0 = cx - w / 2.0, cy - w / 2.0
+    ix = max(0.0, min(x0 + w, fx + R) - max(x0, fx))
+    iy = max(0.0, min(y0 + w, fy + R) - max(y0, fy))
+    inter = ix * iy
+    return inter / (w * w + R * R - inter)
+
+
+def _lerp(a, b, d):
+    return a + (b - a) * d
+
+
+def make_near_miss(rng, size=48, difficulty=0.0):
     """A pre-registered near-miss candidate for the hard-negative factory
     (NegGenerator.load_hard_factory).
 
@@ -259,50 +273,83 @@ def make_near_miss(rng, size=48):
     differ in exactly one labeled way, each a thing a detector must reject
     around a true face:
 
-      mode 0  off-scale window (w/R in [0.45,0.65] or [1.5,2.5]; IoU < .5)
-      mode 1  off-center window (offset 0.25-0.55 R; IoU < .5)
-      mode 2  registered window, landmarks off-manifold (jitter 2.5-5x
-              the positives' 0.018)
+      mode 0  off-scale window (IoU < .5 via wrong window size)
+      mode 1  off-center window (IoU < .5 via offset)
+      mode 2  registered window, landmarks off-manifold (jitter above
+              the positives' 0.018 band)
       mode 3  registered window, structural band occluded/erased
+      mode 4  boundary-IoU window (combined slight off-scale+off-center
+              landing at IoU just under the 0.5 acceptance line — the
+              support vectors of detection; a cascade can never fully
+              reject these without losing true positives, so this mode
+              keeps mining supplied at ANY depth)
+
+    `difficulty` in [0, 1] moves every mode from its easy range toward
+    the hardest parameters that are still unambiguously negative (IoU
+    <= 0.47, jitter >= ~1.5x the positive band).  generate_hard raises
+    it whenever batch acceptance falls under 10%, so the candidate
+    stream tracks the cascade's decision boundary instead of being
+    rejected wholesale (round-3's exponential mining-cost blowup).
 
     Like the reference's hard pool (data.cpp:893-897), every candidate is
     still validated by the current cascade before becoming a negative."""
-    mode = int(rng.integers(0, 4))
+    d = float(np.clip(difficulty, 0.0, 1.0))
+    mode = int(rng.integers(0, 5))
     R = int(rng.integers(size, 2 * size + 1))
-    jitter = float(rng.uniform(0.045, 0.09)) if mode == 2 else 0.018
+    if mode == 2:
+        jitter = float(rng.uniform(_lerp(0.045, 0.028, d), _lerp(0.09, 0.045, d)))
+    else:
+        jitter = 0.018
     face, _lm = _render_face(rng, R, jitter, raw=True)
     if mode == 3:
         y0 = int(rng.uniform(0.15, 0.6) * R)
-        hgt = int(rng.uniform(0.2, 0.35) * R)
+        hgt = int(rng.uniform(_lerp(0.20, 0.13, d), _lerp(0.35, 0.22, d)) * R)
         face[y0 : y0 + hgt] = int(rng.integers(40, 215))
     m = R  # margin wide enough for 2.5x off-scale windows
     Csz = 3 * R
     canvas = rng.integers(40, 215, (Csz, Csz)).astype(np.uint8)
     canvas[m : m + R, m : m + R] = face
     canvas = band_limit(canvas, R / 48.0)
+    fcx = m + R / 2
     if mode == 0:
-        w = int(
-            round(
-                R
-                * (
-                    rng.uniform(1.5, 2.5)
-                    if rng.random() < 0.5
-                    else rng.uniform(0.45, 0.65)
-                )
-            )
-        )
-        cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
-        cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+        if rng.random() < 0.5:
+            ratio = rng.uniform(_lerp(1.50, 1.47, d), _lerp(2.5, 1.7, d))
+        else:
+            ratio = rng.uniform(_lerp(0.45, 0.58, d), _lerp(0.65, 0.68, d))
+        w = int(round(R * ratio))
+        cx = fcx + rng.uniform(-0.05, 0.05) * R
+        cy = fcx + rng.uniform(-0.05, 0.05) * R
     elif mode == 1:
         w = int(round(R * rng.uniform(0.95, 1.2)))
         ang = rng.uniform(0, 2 * np.pi)
-        d = rng.uniform(0.25, 0.55) * R
-        cx = m + R / 2 + np.cos(ang) * d
-        cy = m + R / 2 + np.sin(ang) * d
+        dd = rng.uniform(_lerp(0.30, 0.27, d), _lerp(0.55, 0.36, d)) * R
+        cx = fcx + np.cos(ang) * dd
+        cy = fcx + np.sin(ang) * dd
+    elif mode == 4:
+        lo = _lerp(0.25, 0.38, d)
+        cx = cy = fcx + 0.6 * R  # fallback, overwritten below
+        w = R
+        for _ in range(60):
+            ratio = rng.uniform(0.75, 1.4)
+            w_ = R * ratio
+            ang = rng.uniform(0, 2 * np.pi)
+            dfrac = rng.uniform(0.0, 0.5)
+            cx_ = fcx + np.cos(ang) * dfrac * R
+            cy_ = fcx + np.sin(ang) * dfrac * R
+            if lo <= _window_face_iou(cx_, cy_, w_, m, m, R) <= 0.47:
+                w, cx, cy = int(round(w_)), cx_, cy_
+                break
     else:
         w = int(round(R * rng.uniform(0.95, 1.2)))
-        cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
-        cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+        cx = fcx + rng.uniform(-0.05, 0.05) * R
+        cy = fcx + rng.uniform(-0.05, 0.05) * R
+    if mode in (0, 1, 4):
+        # labeled-negative guarantee: never hand the trainer a window
+        # that the scene eval would score as a true detection
+        for _ in range(40):
+            if _window_face_iou(cx, cy, w, m, m, R) < 0.48:
+                break
+            cx += (cx - fcx) * 0.2 + 0.05 * R
     x0 = int(np.clip(round(cx - w / 2), 0, Csz - w))
     y0 = int(np.clip(round(cy - w / 2), 0, Csz - w))
     return subsample_window(canvas, x0, y0, w, size).astype(np.uint8)
@@ -425,9 +472,12 @@ def main():
             [],
             neg_factory=lambda i: make_bg(np.random.default_rng(7_000_000 + i)),
         )
-    # unlimited pre-registered near-miss supply for deep-stage mining
+    # unlimited pre-registered near-miss supply for deep-stage mining;
+    # the 2-arg signature opts into generate_hard's adaptive difficulty
     tr.neg_gen.load_hard_factory(
-        lambda i: make_near_miss(np.random.default_rng(9_000_000 + i), c.img_o_size)
+        lambda i, d=0.0: make_near_miss(
+            np.random.default_rng(9_000_000 + i), c.img_o_size, d
+        )
     )
     e0 = calc_mean_error(
         tr.pos.gt_shapes[tr.pos.live],
