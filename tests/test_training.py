@@ -413,3 +413,50 @@ def test_hard_factory_topup(monkeypatch):
     assert tr.neg.size == want
     cursor0 = tr.neg_gen._hard_cursor
     assert cursor0 > 0  # the factory was actually consulted
+
+
+def test_hard_factory_adaptive_difficulty():
+    """A 2-arg factory opts into generate_hard's difficulty ladder: when
+    batch acceptance falls under 10% the difficulty ratchets up, and the
+    candidate stream recovers (the round-3 mining-economics fix — without
+    it the cascade's FP rate on a fixed distribution decays exponentially
+    and mining wall-clock blows up)."""
+    from jda_tpu.data import NegGenerator
+
+    c = _tiny_config()
+    ng = NegGenerator(c)
+    seen = []
+    ng.load_hard_factory(
+        lambda i, d: (
+            seen.append(d),
+            np.full((c.img_o_size, c.img_o_size), int(d * 100), np.uint8),
+        )[1]
+    )
+    assert ng._hard_adaptive
+
+    D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+
+    def validate(rows):
+        # accepts only candidates rendered at difficulty >= 0.3 (pixel
+        # value carries the difficulty the factory saw)
+        ok = rows[:, 0] >= 30
+        n = len(rows)
+        return (
+            ok,
+            np.zeros(n),
+            np.zeros((n, c.landmark_dim)),
+            np.zeros(n, np.int64),
+        )
+
+    rows, scores, shapes, stats = ng.generate_hard(
+        validate, 64, batch=32, max_batches=20
+    )
+    assert len(rows) == 64  # the ladder climbed until supply resumed
+    assert stats["difficulty"] >= 0.3
+    assert not stats["exhausted"]
+    # legacy 1-arg factories keep the fixed behavior
+    ng2 = NegGenerator(c)
+    ng2.load_hard_factory(
+        lambda i: np.zeros((c.img_o_size, c.img_o_size), np.uint8)
+    )
+    assert not ng2._hard_adaptive
