@@ -333,6 +333,14 @@ class Detector:
             return "rows"
         return mode
 
+    def _s0_lbf_enabled(self) -> bool:
+        """Dense filter emits packed stage-0 leaf words so the survivor
+        tail skips the stage-0 re-descent (K * 3 nodes * 2 pixel gathers
+        per lane) and jumps straight to the stage-0 regression."""
+        import os
+
+        return os.environ.get("JDA_TPU_S0LBF", "1") != "0"
+
     def _fused_plan_windows(
         self, key, B, Hc, Wc, x, y, win, scales, rounding: bool,
         origins=None,
@@ -440,6 +448,7 @@ class Detector:
                     origins=plan.get("origins"),
                     canvas_mode=self._canvas_mode(),
                     static_tabs=plan.get("static_tabs"),
+                    s0_lbf=self._s0_lbf_enabled(),
                 )
             else:
                 plan["fn"] = F.make_fused_fn(
@@ -453,6 +462,7 @@ class Detector:
                     use_pallas=plan["use_pallas"],
                     rounding=plan["rounding"],
                     static_tabs=plan.get("static_tabs"),
+                    s0_lbf=self._s0_lbf_enabled(),
                 )
         return plan
 

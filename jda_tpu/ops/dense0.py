@@ -134,8 +134,46 @@ _PLANE_DTYPES = {"i32": jnp.int32, "i16": jnp.int16, "u8": jnp.uint8}
 PLANE_DTYPE = _PLANE_DTYPES[_os.environ.get("JDA_TPU_DENSE_DTYPE", "i32")]
 
 
-def _scale_filter(img, tabs, *, step, ny, nx, depth):
-    """One scan scale: returns (score, alive, nvis), each [B, ny, nx].
+# Stage-0 LBF emission: 4 bits per cart (leaf index 0..7 for depth-4
+# trees), 8 carts per int32 word, cart k in word k//8 at nibble k%8.
+# Lets the fused survivor tail skip the stage-0 re-descent entirely
+# (540 carts x 3 nodes x 2 pixel gathers per lane) and jump straight to
+# the stage-0 regression — the leaf indices already exist inside the
+# dense filter as descent path bits.
+LBF_BITS = 4
+LBF_PER_WORD = 32 // LBF_BITS
+
+
+def lbf_words(K: int) -> int:
+    return -(-K // LBF_PER_WORD)
+
+
+def _leaf_plane(bits):
+    """Descent bits (MSB first, bool planes) -> leaf index plane (i32)."""
+    d = len(bits)
+    out = None
+    for i, b in enumerate(bits):
+        v = b.astype(jnp.int32) << (d - 1 - i)
+        out = v if out is None else out + v
+    return out
+
+
+def _pack_leaf_block(leaf_planes):
+    """Pack a block of per-cart leaf planes (len multiple of 8) into
+    int32 words stacked on a trailing axis: [..., len/8]."""
+    words = []
+    for w0 in range(0, len(leaf_planes), LBF_PER_WORD):
+        acc = None
+        for i in range(LBF_PER_WORD):
+            v = leaf_planes[w0 + i] << (LBF_BITS * i)
+            acc = v if acc is None else acc | v
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
+def _scale_filter(img, tabs, *, step, ny, nx, depth, emit_lbf=False):
+    """One scan scale: returns (score, alive, nvis), each [B, ny, nx];
+    with emit_lbf also packed leaf words [B, ny, nx, lbf_words(K)].
 
     The scan is blocked CART_BLOCK carts per iteration: crop slices of a
     whole block issue together (independent DMAs overlap) while the score
@@ -147,10 +185,15 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
     node_n = (1 << (depth - 1)) - 1
     K = tabs["th"].shape[0]
 
-    # pad cart count to a CART_BLOCK multiple with never-rejecting no-ops
-    # (zero leaf scores, mean 0, std 1, threshold -inf); survivors' nvis is
-    # recomputed by the exact tail cascade, so the pad's nvis bump is inert
-    kpad = (-K) % CART_BLOCK
+    # lbf packing needs word-aligned blocks (8 carts per i32 word)
+    cb = 8 * -(-CART_BLOCK // 8) if emit_lbf else CART_BLOCK
+
+    # pad cart count to a block multiple with never-rejecting no-ops
+    # (zero leaf scores, mean 0, std 1, threshold -inf); the "real" flag
+    # keeps pad carts out of the nvis telemetry
+    tabs = dict(tabs)
+    tabs["real"] = jnp.ones((K,), jnp.int32)
+    kpad = (-K) % cb
     if kpad:
         def padtab(k, v):
             fill = 1.0 if k == "std" else (-jnp.inf if k == "cth" else 0)
@@ -162,13 +205,14 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
 
         tabs = {k: padtab(k, jnp.asarray(v)) for k, v in tabs.items()}
     blocked = {
-        k: jnp.asarray(v).reshape((-1, CART_BLOCK) + jnp.asarray(v).shape[1:])
+        k: jnp.asarray(v).reshape((-1, cb) + jnp.asarray(v).shape[1:])
         for k, v in tabs.items()
     }
 
     def body(carry, xb):
         s, alive, nvis = carry
-        for ci in range(CART_BLOCK):
+        block_leaves = []
+        for ci in range(cb):
             x = {k: v[ci] for k, v in xb.items()}
 
             def val(j):
@@ -195,20 +239,27 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
                 for j in range(node_n + 1)
             ]
             b = _bit_select(leaf_planes, bits)
+            if emit_lbf:
+                block_leaves.append(_leaf_plane(bits))
 
             s_new = (s + b - x["mean"]) / x["std"]
             s = jnp.where(alive, s_new, s)
-            nvis = nvis + alive.astype(jnp.int32)
+            nvis = nvis + alive.astype(jnp.int32) * x["real"]
             alive = alive & (s >= x["cth"])
-        return (s, alive, nvis), None
+        ys = _pack_leaf_block(block_leaves) if emit_lbf else None
+        return (s, alive, nvis), ys
 
     init = (
         jnp.zeros((B, ny, nx), jnp.float32),
         jnp.ones((B, ny, nx), bool),
         jnp.zeros((B, ny, nx), jnp.int32),
     )
-    (score, alive, nvis), _ = jax.lax.scan(body, init, blocked)
-    return score, alive, nvis
+    (score, alive, nvis), ys = jax.lax.scan(body, init, blocked)
+    if not emit_lbf:
+        return score, alive, nvis
+    # ys [nblk, B, ny, nx, cb/8] -> [B, ny, nx, NW]
+    lbf = jnp.moveaxis(ys, 0, 3).reshape(B, ny, nx, -1)[..., : lbf_words(K)]
+    return score, alive, nvis, lbf
 
 
 # windows per grid under which the static-slice filter applies (small
@@ -218,7 +269,9 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth):
 STATIC_MAX_WINDOWS = int(_os.environ.get("JDA_TPU_DENSE_STATIC_MAX", "2500"))
 
 
-def _scale_filter_static(img, tab_dev, tab_host, *, step, ny, nx, depth):
+def _scale_filter_static(
+    img, tab_dev, tab_host, *, step, ny, nx, depth, emit_lbf=False
+):
     """Small-grid scales: pre-gather every tap's grid in ONE constant-
     index gather, then run the cart chain as pure elementwise scan work.
 
@@ -259,6 +312,8 @@ def _scale_filter_static(img, tab_dev, tab_host, *, step, ny, nx, depth):
     diffs = vals[:, :, 0] - vals[:, :, 1]  # [K, node_n, B, ny, nx]
 
     kb = min(CART_BLOCK * 9, K)
+    if emit_lbf:
+        kb = 8 * -(-kb // 8)  # word-aligned blocks for lbf packing
     kpad = (-K) % kb
 
     def padk(a, fill):
@@ -279,10 +334,12 @@ def _scale_filter_static(img, tab_dev, tab_host, *, step, ny, nx, depth):
         "mean": padk(tab_dev["mean"], 0.0).reshape(-1, kb),
         "std": padk(tab_dev["std"], 1.0).reshape(-1, kb),
         "cth": padk(tab_dev["cth"], -jnp.inf).reshape(-1, kb),
+        "real": padk(jnp.ones((K,), jnp.int32), 0).reshape(-1, kb),
     }
 
     def body(carry, xb):
         s, alive, nvis = carry
+        block_leaves = []
         for ci in range(kb):
             vals_c = xb["d"][ci]  # [node_n, B, ny, nx]
             bits = []
@@ -297,19 +354,25 @@ def _scale_filter_static(img, tab_dev, tab_host, *, step, ny, nx, depth):
                 for j in range(node_n + 1)
             ]
             b = _bit_select(leaf_planes, bits)
+            if emit_lbf:
+                block_leaves.append(_leaf_plane(bits))
             s_new = (s + b - xb["mean"][ci]) / xb["std"][ci]
             s = jnp.where(alive, s_new, s)
-            nvis = nvis + alive.astype(jnp.int32)
+            nvis = nvis + alive.astype(jnp.int32) * xb["real"][ci]
             alive = alive & (s >= xb["cth"][ci])
-        return (s, alive, nvis), None
+        ys = _pack_leaf_block(block_leaves) if emit_lbf else None
+        return (s, alive, nvis), ys
 
     init = (
         jnp.zeros((B, ny, nx), jnp.float32),
         jnp.ones((B, ny, nx), bool),
         jnp.zeros((B, ny, nx), jnp.int32),
     )
-    (score, alive, nvis), _ = jax.lax.scan(body, init, xs)
-    return score, alive, nvis
+    (score, alive, nvis), ys = jax.lax.scan(body, init, xs)
+    if not emit_lbf:
+        return score, alive, nvis
+    lbf = jnp.moveaxis(ys, 0, 3).reshape(B, ny, nx, -1)[..., : lbf_words(K)]
+    return score, alive, nvis, lbf
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +634,7 @@ def _scale_filter_pallas_resident(
     nx: int,
     depth: int,
     geom: dict,
+    emit_lbf: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -584,8 +648,14 @@ def _scale_filter_pallas_resident(
     Hp, Wp = geom["Hp"], geom["Wp"]
     s2 = geom["s2"]
     ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+    NW = lbf_words(K)
+    if emit_lbf:
+        tabi, tabf = _pad_noop_carts(
+            tabi, tabf, leaf_n, NW * LBF_PER_WORD - K
+        )
 
-    def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref):
+    def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref,
+               *rest):
         def crop(k, o):
             # crop at (u, v) of plane pi: a tile-aligned VMEM read plus two
             # dynamic rotates (tpu DynamicRotateOp handles traced shifts;
@@ -615,7 +685,7 @@ def _scale_filter_pallas_resident(
         alive_ref[0] = jnp.ones((ny8, nx128), jnp.int32)
         nvis_ref[0] = jnp.zeros((ny8, nx128), jnp.int32)
 
-        def cart_body(k, _):
+        def one_cart(k):
             s = score_ref[0]
             al = alive_ref[0]
             vals = [crop(k, 6 * j) - crop(k, 6 * j + 3) for j in range(node_n)]
@@ -635,15 +705,64 @@ def _scale_filter_pallas_resident(
             s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
             s = jnp.where(alb, s_new, s)
             score_ref[0] = s
-            nvis_ref[0] = nvis_ref[0] + al
+            if emit_lbf:
+                nvis_ref[0] = nvis_ref[0] + jnp.where(k < K, al, 0)
+            else:
+                nvis_ref[0] = nvis_ref[0] + al
             alive_ref[0] = jnp.where(
                 alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
             )
-            return 0
+            leaf = None
+            for i, bb in enumerate(bits):
+                v = bb << (depth - 2 - i)
+                leaf = v if leaf is None else leaf + v
+            return leaf
 
-        jax.lax.fori_loop(0, K, cart_body, 0)
+        if emit_lbf:
+            lbf_hbm, word, sem = rest
+            bi = pl.program_id(0)
 
-    score, alive, nvis = pl.pallas_call(
+            def word_body(w, _):
+                acc = None
+                for i in range(LBF_PER_WORD):
+                    v = one_cart(w * LBF_PER_WORD + i) << (LBF_BITS * i)
+                    acc = v if acc is None else acc | v
+                word[0] = acc
+                cp = pltpu.make_async_copy(word.at[0], lbf_hbm.at[bi, w], sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, NW, word_body, 0)
+        else:
+            def cart_body(k, _):
+                one_cart(k)
+                return 0
+
+            jax.lax.fori_loop(0, K, cart_body, 0)
+
+    out_specs = [
+        pl.BlockSpec(
+            (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        for _ in range(3)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+    ]
+    scratch = []
+    if emit_lbf:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, NW, ny8, nx128), jnp.int32)
+        )
+        scratch = [
+            pltpu.VMEM((1, ny8, nx128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -659,28 +778,19 @@ def _scale_filter_pallas_resident(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(tabi, tabf, ph)
-    return (
+    score, alive, nvis = outs[:3]
+    res = (
         score[:, :ny, :nx],
         alive[:, :ny, :nx] != 0,
         nvis[:, :ny, :nx],
     )
+    if emit_lbf:
+        res = res + (outs[3].transpose(0, 2, 3, 1)[:, :ny, :nx, :],)
+    return res
 
 
 _ROLLED_VMEM_BUDGET = int(
@@ -697,6 +807,25 @@ def _rolled_fits(geom: dict) -> bool:
     return inp + scratch <= _ROLLED_VMEM_BUDGET
 
 
+def _pad_noop_carts(tabi, tabf, leaf_n, kpad):
+    """Append kpad never-rejecting no-op carts (zero leaf scores, mean 0,
+    std 1, cart_th -inf, all crop coords 0) to packed SMEM tables."""
+    if not kpad:
+        return tabi, tabf
+    tabi = jnp.pad(tabi, ((0, kpad), (0, 0)))
+    pad_row = jnp.concatenate(
+        [
+            jnp.zeros(leaf_n + 1, jnp.float32),  # leaf scores + mean
+            jnp.ones(1, jnp.float32),  # std
+            jnp.full(1, -jnp.inf, jnp.float32),  # cart_th
+        ]
+    )
+    tabf = jnp.concatenate(
+        [tabf, jnp.broadcast_to(pad_row, (kpad, tabf.shape[1]))]
+    )
+    return tabi, tabf
+
+
 def _scale_filter_pallas_rolled(
     img: jnp.ndarray,  # [B, H, W] int32
     tabi: jnp.ndarray,
@@ -707,6 +836,7 @@ def _scale_filter_pallas_rolled(
     nx: int,
     depth: int,
     geom: dict,
+    emit_lbf: bool = False,
 ):
     """Resident kernel with PRE-LANE-ROLLED int8 phase planes.
 
@@ -732,9 +862,18 @@ def _scale_filter_pallas_rolled(
     s2 = geom["s2"]
     NV = umax + 1
     ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+    NW = lbf_words(K)
+    if emit_lbf:
+        tabi, tabf = _pad_noop_carts(
+            tabi, tabf, leaf_n, NW * LBF_PER_WORD - K
+        )
 
     def kernel(tabi_ref, tabf_ref, ph_ref, score_ref, alive_ref, nvis_ref,
-               rolled):
+               *rest):
+        if emit_lbf:
+            lbf_hbm, rolled, word, sem = rest
+        else:
+            (rolled,) = rest
         # -- static lane rotations, once per image --------------------
         for pi in range(s2):
             plane = ph_ref[0, pi]  # [Hp, Wp] int32
@@ -767,7 +906,8 @@ def _scale_filter_pallas_rolled(
         alive_ref[0] = jnp.ones((ny8, nx128), jnp.int32)
         nvis_ref[0] = jnp.zeros((ny8, nx128), jnp.int32)
 
-        def cart_body(k, _):
+        def one_cart(k):
+            """Score/alive/nvis update for cart k; returns the leaf plane."""
             s = score_ref[0]
             al = alive_ref[0]
             vals = [crop(k, 6 * j) - crop(k, 6 * j + 3) for j in range(node_n)]
@@ -787,15 +927,64 @@ def _scale_filter_pallas_rolled(
             s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
             s = jnp.where(alb, s_new, s)
             score_ref[0] = s
-            nvis_ref[0] = nvis_ref[0] + al
+            if emit_lbf:
+                # guard the pad carts' nvis bump (k is traced, K static)
+                nvis_ref[0] = nvis_ref[0] + jnp.where(k < K, al, 0)
+            else:
+                nvis_ref[0] = nvis_ref[0] + al
             alive_ref[0] = jnp.where(
                 alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
             )
-            return 0
+            leaf = None
+            for i, bb in enumerate(bits):
+                v = bb << (depth - 2 - i)
+                leaf = v if leaf is None else leaf + v
+            return leaf
 
-        jax.lax.fori_loop(0, K, cart_body, 0)
+        if emit_lbf:
+            bi = pl.program_id(0)
 
-    score, alive, nvis = pl.pallas_call(
+            def word_body(w, _):
+                acc = None
+                for i in range(LBF_PER_WORD):
+                    v = one_cart(w * LBF_PER_WORD + i) << (LBF_BITS * i)
+                    acc = v if acc is None else acc | v
+                word[0] = acc
+                cp = pltpu.make_async_copy(word.at[0], lbf_hbm.at[bi, w], sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, NW, word_body, 0)
+        else:
+            def cart_body(k, _):
+                one_cart(k)
+                return 0
+
+            jax.lax.fori_loop(0, K, cart_body, 0)
+
+    out_specs = [
+        pl.BlockSpec(
+            (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        for _ in range(3)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+        jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
+    ]
+    scratch = [pltpu.VMEM((s2 * NV, Hp, Wp), jnp.int8)]
+    if emit_lbf:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, NW, ny8, nx128), jnp.int32)
+        )
+        scratch += [
+            pltpu.VMEM((1, ny8, nx128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -811,31 +1000,20 @@ def _scale_filter_pallas_rolled(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, nx128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.float32),
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
-            jax.ShapeDtypeStruct((B, ny8, nx128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((s2 * NV, Hp, Wp), jnp.int8),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(tabi, tabf, ph)
-    return (
+    score, alive, nvis = outs[:3]
+    res = (
         score[:, :ny, :nx],
         alive[:, :ny, :nx] != 0,
         nvis[:, :ny, :nx],
     )
+    if emit_lbf:
+        # [B, NW, ny8, nx128] -> [B, ny, nx, NW]
+        res = res + (outs[3].transpose(0, 2, 3, 1)[:, :ny, :nx, :],)
+    return res
 
 
 def _scale_filter_pallas_tiled(
@@ -848,6 +1026,7 @@ def _scale_filter_pallas_tiled(
     nx: int,
     depth: int,
     geom: dict,
+    emit_lbf: bool = False,
 ):
     """Column-tiled variant of the resident kernel: phase planes stay in
     HBM and every grid step (b, j) DMAs one 128-aligned column slab of all
@@ -870,9 +1049,18 @@ def _scale_filter_pallas_tiled(
     WT = NXT + 128  # lane headroom: crop offset v <= umax < 128
     n_ct = -(-nx128 // NXT)
     ph = _phase_decompose(img, step, hp=Hp, wp=Wp)  # [B, s2, Hp, Wp]
+    NW = lbf_words(K)
+    if emit_lbf:
+        tabi, tabf = _pad_noop_carts(
+            tabi, tabf, leaf_n, NW * LBF_PER_WORD - K
+        )
 
     def kernel(tabi_ref, tabf_ref, ph_hbm, score_ref, alive_ref, nvis_ref,
-               tile, sem):
+               *rest):
+        if emit_lbf:
+            lbf_hbm, tile, sem, word, wsem = rest
+        else:
+            tile, sem = rest
         bi = pl.program_id(0)
         j = pl.program_id(1)
         # one DMA per grid step: all planes' column slab [s2, Hp, WT]
@@ -910,7 +1098,7 @@ def _scale_filter_pallas_tiled(
                 bit_sel(planes[:half], bits_i32[1:]),
             )
 
-        def cart_body(k, _):
+        def one_cart(k):
             s = score_ref[0]
             al = alive_ref[0]
             vals = [crop(k, 6 * jj) - crop(k, 6 * jj + 3) for jj in range(node_n)]
@@ -930,15 +1118,68 @@ def _scale_filter_pallas_tiled(
             s_new = (s + b - tabf_ref[k, leaf_n]) / tabf_ref[k, leaf_n + 1]
             s = jnp.where(alb, s_new, s)
             score_ref[0] = s
-            nvis_ref[0] = nvis_ref[0] + al
+            if emit_lbf:
+                nvis_ref[0] = nvis_ref[0] + jnp.where(k < K, al, 0)
+            else:
+                nvis_ref[0] = nvis_ref[0] + al
             alive_ref[0] = jnp.where(
                 alb & (s >= tabf_ref[k, leaf_n + 2]), 1, 0
             )
-            return 0
+            leaf = None
+            for i, bb in enumerate(bits):
+                v = bb << (depth - 2 - i)
+                leaf = v if leaf is None else leaf + v
+            return leaf
 
-        jax.lax.fori_loop(0, K, cart_body, 0)
+        if emit_lbf:
+            def word_body(w, _):
+                acc = None
+                for i in range(LBF_PER_WORD):
+                    v = one_cart(w * LBF_PER_WORD + i) << (LBF_BITS * i)
+                    acc = v if acc is None else acc | v
+                word[0] = acc
+                cp = pltpu.make_async_copy(
+                    word.at[0],
+                    lbf_hbm.at[bi, w, :, pl.ds(j * NXT, NXT)],
+                    wsem,
+                )
+                cp.start()
+                cp.wait()
+                return 0
 
-    score, alive, nvis = pl.pallas_call(
+            jax.lax.fori_loop(0, NW, word_body, 0)
+        else:
+            def cart_body(k, _):
+                one_cart(k)
+                return 0
+
+            jax.lax.fori_loop(0, K, cart_body, 0)
+
+    out_specs = [
+        pl.BlockSpec(
+            (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+        )
+        for _ in range(3)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.float32),
+        jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
+        jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((s2, Hp, WT), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if emit_lbf:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, NW, ny8, n_ct * NXT), jnp.int32)
+        )
+        scratch += [
+            pltpu.VMEM((1, ny8, NXT), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(B, n_ct),
         in_specs=[
@@ -954,32 +1195,19 @@ def _scale_filter_pallas_tiled(
                 memory_space=pltpu.MemorySpace.HBM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ny8, NXT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.float32),
-            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
-            jax.ShapeDtypeStruct((B, ny8, n_ct * NXT), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((s2, Hp, WT), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(tabi, tabf, ph)
-    return (
+    score, alive, nvis = outs[:3]
+    res = (
         score[:, :ny, :nx],
         alive[:, :ny, :nx] != 0,
         nvis[:, :ny, :nx],
     )
+    if emit_lbf:
+        res = res + (outs[3].transpose(0, 2, 3, 1)[:, :ny, :nx, :],)
+    return res
 
 
 def mixed_tables(
@@ -1005,13 +1233,15 @@ def stage0_filter_mixed(
     depth: int,
     static_tabs=None,  # per-scale HOST node_tables (or None) — closed
     # over, never traced; enables the static-slice path for small grids
+    emit_lbf: bool = False,  # also return packed stage-0 leaf words
+    # [B, n, lbf_words(K)] (see _scale_filter)
 ):
     """Full stage-0: resident Pallas kernel where the phase planes fit in
     VMEM, static-slice unroll for small grids (when host tables are
     provided), XLA scan elsewhere.  Output layout identical to
     stage0_filter_all_scales."""
     B, H, W = img.shape
-    scores, alives, nviss = [], [], []
+    scores, alives, nviss, lbfs = [], [], [], []
     for i, ((win, step, ny, nx), tab) in enumerate(zip(meta, tabs)):
         geom = _resident_geom(H, W, win, step, ny, nx)
         st = static_tabs[i] if static_tabs is not None else None
@@ -1020,11 +1250,12 @@ def stage0_filter_mixed(
             and st is not None
             and ny * nx <= STATIC_MAX_WINDOWS
         ):
-            s, a, nv = _scale_filter_static(
-                img, tab, st, step=step, ny=ny, nx=nx, depth=depth
+            out = _scale_filter_static(
+                img, tab, st, step=step, ny=ny, nx=nx, depth=depth,
+                emit_lbf=emit_lbf,
             )
         elif geom is not None and geom["ctile"] is not None:
-            s, a, nv = _scale_filter_pallas_tiled(
+            out = _scale_filter_pallas_tiled(
                 img,
                 tab["tabi"],
                 tab["tabf"],
@@ -1033,13 +1264,14 @@ def stage0_filter_mixed(
                 nx=nx,
                 depth=depth,
                 geom=geom,
+                emit_lbf=emit_lbf,
             )
         elif (
             geom is not None
             and _rolled_fits(geom)
             and _os.environ.get("JDA_TPU_DENSE_ROLLED", "1") != "0"
         ):
-            s, a, nv = _scale_filter_pallas_rolled(
+            out = _scale_filter_pallas_rolled(
                 img,
                 tab["tabi"],
                 tab["tabf"],
@@ -1048,9 +1280,10 @@ def stage0_filter_mixed(
                 nx=nx,
                 depth=depth,
                 geom=geom,
+                emit_lbf=emit_lbf,
             )
         elif geom is not None:
-            s, a, nv = _scale_filter_pallas_resident(
+            out = _scale_filter_pallas_resident(
                 img,
                 tab["tabi"],
                 tab["tabf"],
@@ -1059,48 +1292,66 @@ def stage0_filter_mixed(
                 nx=nx,
                 depth=depth,
                 geom=geom,
+                emit_lbf=emit_lbf,
             )
         else:
             base = {
                 k: v for k, v in tab.items() if k not in ("tabi", "tabf")
             }
-            s, a, nv = _scale_filter(
-                img, base, step=step, ny=ny, nx=nx, depth=depth
+            out = _scale_filter(
+                img, base, step=step, ny=ny, nx=nx, depth=depth,
+                emit_lbf=emit_lbf,
             )
+        s, a, nv = out[:3]
         scores.append(s.reshape(B, ny * nx))
         alives.append(a.reshape(B, ny * nx))
         nviss.append(nv.reshape(B, ny * nx))
-    return (
+        if emit_lbf:
+            lbfs.append(out[3].reshape(B, ny * nx, -1))
+    res = (
         jnp.concatenate(scores, axis=1),
         jnp.concatenate(alives, axis=1),
         jnp.concatenate(nviss, axis=1),
     )
+    if emit_lbf:
+        return res + (jnp.concatenate(lbfs, axis=1),)
+    return res
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "depth"))
+@functools.partial(jax.jit, static_argnames=("meta", "depth", "emit_lbf"))
 def stage0_filter_all_scales(
     img: jnp.ndarray,  # [B, H, W] int32
     tabs: Tuple[Dict[str, jnp.ndarray], ...],  # one table per scan scale
     *,
     meta: Tuple[Tuple[int, int, int, int], ...],  # (win, step, ny, nx)
     depth: int,
+    emit_lbf: bool = False,
 ):
     """Full stage-0 over every scan scale in ONE program/dispatch.
 
     Outputs are flattened per scale and concatenated in the reference's
     window enumeration order (win outer, y middle, x inner — c/jda.c:331-339),
     so index i here is window i of detect.enumerate_windows.
-    Returns (score [B, n], alive [B, n], nvis [B, n]).
+    Returns (score [B, n], alive [B, n], nvis [B, n]) and, with emit_lbf,
+    packed stage-0 leaf words [B, n, lbf_words(K)].
     """
-    scores, alives, nviss = [], [], []
+    scores, alives, nviss, lbfs = [], [], [], []
     B = img.shape[0]
     for (win, step, ny, nx), tab in zip(meta, tabs):
-        s, a, nv = _scale_filter(img, tab, step=step, ny=ny, nx=nx, depth=depth)
+        out = _scale_filter(
+            img, tab, step=step, ny=ny, nx=nx, depth=depth, emit_lbf=emit_lbf
+        )
+        s, a, nv = out[:3]
         scores.append(s.reshape(B, ny * nx))
         alives.append(a.reshape(B, ny * nx))
         nviss.append(nv.reshape(B, ny * nx))
-    return (
+        if emit_lbf:
+            lbfs.append(out[3].reshape(B, ny * nx, -1))
+    res = (
         jnp.concatenate(scores, axis=1),
         jnp.concatenate(alives, axis=1),
         jnp.concatenate(nviss, axis=1),
     )
+    if emit_lbf:
+        return res + (jnp.concatenate(lbfs, axis=1),)
+    return res

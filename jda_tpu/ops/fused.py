@@ -63,6 +63,16 @@ def _gather_state(state: Dict[str, jnp.ndarray], selc, valid) -> Dict[str, jnp.n
     return out
 
 
+def unpack_lbf(words: jnp.ndarray, K: int) -> jnp.ndarray:
+    """[N, lbf_words(K)] packed stage-0 leaf words -> [N, K] leaf indices
+    (4 bits per cart, cart k in word k//8 at nibble k%8 — ops/dense0.py)."""
+    rep = jnp.repeat(words, D0.LBF_PER_WORD, axis=1)[:, :K]
+    sh = (
+        jnp.arange(K, dtype=jnp.int32) % D0.LBF_PER_WORD
+    ) * D0.LBF_BITS
+    return (rep >> sh[None, :]) & ((1 << D0.LBF_BITS) - 1)
+
+
 # carts per leading chunk of stages >= 1: trained cascades front-load
 # rejection within a stage too (realistic_drop_profile / the reference's
 # per-cart thresholds), so compacting after the first SPLIT carts roughly
@@ -116,6 +126,9 @@ def make_fused_fn(
     rounding: bool = False,  # False = C trunc (jdaDetect), True = C++ round
     static_tabs=None,  # per-scale HOST node tables for the static-slice
     # small-grid filter (closed over, never traced) — see ops/dense0.py
+    s0_lbf: bool = False,  # dense filter emits packed stage-0 leaf words;
+    # the tail reads them instead of re-descending stage 0 (saves
+    # K * (depth-1) * 2 pixel gathers per survivor lane)
 ):
     """Build the fused program for one static geometry.  The returned fn is
     jit-compiled on first call; all dynamic data (model, images, window
@@ -137,13 +150,16 @@ def make_fused_fn(
 
         # -- 1. dense stage-0 over all scales --------------------------------
         if use_pallas:
-            score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
-                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs
+            dense = D0.stage0_filter_mixed(
+                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs,
+                emit_lbf=s0_lbf,
             )
         else:
-            score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
-                imgs, tabs, meta=meta, depth=depth
+            dense = D0.stage0_filter_all_scales(
+                imgs, tabs, meta=meta, depth=depth, emit_lbf=s0_lbf
             )
+        score_d, alive_d, nvis_d = dense[:3]
+        lbf_d = dense[3] if s0_lbf else None
 
         # per-image validity on the canonical grid: window must fit inside
         # the image's own dims (x <= w - win implies win <= w)
@@ -176,17 +192,23 @@ def make_fused_fn(
         state["dnvis"] = state["nvis"]
 
         flat_img = imgs.reshape(-1)
+        K = dev["feat_th"].shape[1]
 
-        # -- 3. stage-0 leaf rerun (descent only; dense already scored) ------
-        sp0 = C.stage_params(dev, 0)
-        leaves0, _ = C.carts_descend(
-            sp0, flat_img, state, depth=depth, rounding=rounding, single_scale=True
-        )
+        # -- 3. stage-0 leaves: read back the dense filter's packed path
+        # words (s0_lbf) or re-descend on the compacted lanes ---------------
+        if s0_lbf:
+            words = lbf_d.reshape(B * n, -1)[selc]
+            leaves0 = unpack_lbf(words, K)
+        else:
+            sp0 = C.stage_params(dev, 0)
+            leaves0, _ = C.carts_descend(
+                sp0, flat_img, state, depth=depth, rounding=rounding,
+                single_scale=True,
+            )
         state = C.apply_regression(dev["W"][0], leaves0, state, leaf_n=leaf_n)
 
         counts = [count0]
         sel_global = jnp.where(valid, selc, -1)  # lane -> flat (b*n + w) id
-        K = dev["feat_th"].shape[1]
         split = K > 2 * STAGE_SPLIT
         bi_cursor = 1  # next entry of the flat budget tuple
 
@@ -370,6 +392,7 @@ def make_fused_fn2(
     origins: Optional[Tuple[Tuple[int, int], ...]] = None,
     canvas_mode: str = "rows",  # gather | rows | pallas (materialization)
     static_tabs=None,  # host node tables for small grids (make_fused_fn)
+    s0_lbf: bool = False,  # see make_fused_fn
 ):
     """Grouped canvas-tail fused program.  Same contract as make_fused_fn:
     returns {sel, score, shape, alive, nvis, counts, total_nvis} with sel
@@ -412,13 +435,17 @@ def make_fused_fn2(
         n = n_windows
 
         if use_pallas:
-            score_d, alive_d, nvis_d = D0.stage0_filter_mixed(
-                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs
+            dense = D0.stage0_filter_mixed(
+                imgs, tabs, meta=meta, depth=depth, static_tabs=static_tabs,
+                emit_lbf=s0_lbf,
             )
         else:
-            score_d, alive_d, nvis_d = D0.stage0_filter_all_scales(
-                imgs, tabs, meta=meta, depth=depth
+            dense = D0.stage0_filter_all_scales(
+                imgs, tabs, meta=meta, depth=depth, emit_lbf=s0_lbf
             )
+        score_d, alive_d, nvis_d = dense[:3]
+        lbf_d = dense[3] if s0_lbf else None
+        K = dev["feat_th"].shape[1]
 
         x = xywin[:, 0][None, :]
         y = xywin[:, 1][None, :]
@@ -469,6 +496,13 @@ def make_fused_fn2(
                 valid, score_d[:, w0:w1].reshape(-1)[selc], 0.0
             )
             nvis0 = jnp.where(valid, nvis_d[:, w0:w1].reshape(-1)[selc], 0)
+            lbf0 = (
+                unpack_lbf(
+                    lbf_d[:, w0:w1].reshape(B * ng, -1)[selc], K
+                )
+                if s0_lbf
+                else None
+            )
 
             if g["S"] is not None:
                 # ---- MXU canvas tail -----------------------------------
@@ -492,14 +526,17 @@ def make_fused_fn2(
                     "pw": ws,
                 }
                 # stage-0 leaves (descent only: dense already scored)
-                leaves0, _ = MT.descend_canvas(
-                    C.stage_params(dev, 0),
-                    canvas,
-                    state["pw"],
-                    state["shape"],
-                    depth=depth,
-                    rounding=rounding,
-                )
+                if s0_lbf:
+                    leaves0 = lbf0
+                else:
+                    leaves0, _ = MT.descend_canvas(
+                        C.stage_params(dev, 0),
+                        canvas,
+                        state["pw"],
+                        state["shape"],
+                        depth=depth,
+                        rounding=rounding,
+                    )
                 state = C.apply_regression(
                     dev["W"][0], leaves0, state, leaf_n=leaf_n
                 )
@@ -542,14 +579,17 @@ def make_fused_fn2(
                 state["score"] = score0
                 state["nvis"] = nvis0
                 state["dnvis"] = nvis0
-                leaves0, _ = C.carts_descend(
-                    C.stage_params(dev, 0),
-                    flat_img,
-                    state,
-                    depth=depth,
-                    rounding=rounding,
-                    single_scale=True,
-                )
+                if s0_lbf:
+                    leaves0 = lbf0
+                else:
+                    leaves0, _ = C.carts_descend(
+                        C.stage_params(dev, 0),
+                        flat_img,
+                        state,
+                        depth=depth,
+                        rounding=rounding,
+                        single_scale=True,
+                    )
                 state = C.apply_regression(
                     dev["W"][0], leaves0, state, leaf_n=leaf_n
                 )
