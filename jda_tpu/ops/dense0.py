@@ -794,17 +794,28 @@ def _scale_filter_pallas_resident(
 
 
 _ROLLED_VMEM_BUDGET = int(
-    _os.environ.get("JDA_TPU_DENSE_ROLLED_BUDGET", str(13_500_000))
+    _os.environ.get("JDA_TPU_DENSE_ROLLED_BUDGET", str(15_000_000))
 )
 
 
 def _rolled_fits(geom: dict) -> bool:
-    """VMEM budget check for the pre-rolled-planes kernel: the i32 input
-    block + the s2*(umax+1) int8 rolled variants must fit scoped VMEM."""
+    """Scoped-VMEM budget check for the pre-rolled-planes kernel.
+
+    The working set Mosaic allocates on the kernel stack is NOT just the
+    explicit scratch: it is (a) the grid-mapped input block,
+    double-buffered across grid steps, (b) the s2*(umax+1) int8 rolled
+    variants, and (c) the kernel's live [ny8, nx128] i32/f32 temporaries —
+    ~7 crop diffs + 8 leaf planes + path bits + score/alive/nvis blocks
+    and their double buffers, measured at ~36 planes on the real chip
+    (the VGA win=24 scale blew the 16 MB scoped limit by 1.7 MB while the
+    old inp+scratch model predicted 4.9 MB).  Scales over budget fall
+    back to _scale_filter_pallas_resident, which holds fewer planes live
+    because crops are rolled on demand."""
     s2, Hp, Wp = geom["s2"], geom["Hp"], geom["Wp"]
-    inp = s2 * Hp * Wp * 4
+    inp = 2 * s2 * Hp * Wp * 4
     scratch = s2 * (geom["umax"] + 1) * Hp * Wp
-    return inp + scratch <= _ROLLED_VMEM_BUDGET
+    temps = 36 * geom["ny8"] * geom["nx128"] * 4
+    return inp + scratch + temps <= _ROLLED_VMEM_BUDGET
 
 
 def _pad_noop_carts(tabi, tabf, leaf_n, kpad):
