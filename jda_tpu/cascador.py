@@ -361,7 +361,9 @@ class CppDetector:
         score = np.asarray(out["score"])
         shape = np.asarray(out["shape"])
         alive = np.asarray(out["alive"])
-        total_nvis = int(np.asarray(out["total_nvis"]))
+        # exact per-image visit banks from the fused program (the
+        # reference's per-image stat, test.cpp:146-149)
+        nvis_img = np.asarray(out["nvis_img"])
 
         n = plan["n"]
         x, y = plan["x"], plan["y"]
@@ -370,8 +372,6 @@ class CppDetector:
         keep = (sel >= 0) & alive
         bi = np.where(sel >= 0, sel // n, -1)
         wi = np.where(sel >= 0, sel % n, 0)
-        faces_total = int(keep.sum())
-        reject_nvis = total_nvis - faces_total * TK
 
         mask_ns, nonface_counts = [], []
         for i in range(B):
@@ -389,10 +389,8 @@ class CppDetector:
             )
             mask_ns.append(m_n)
             nonface_counts.append(m_n - int((keep & (bi == i)).sum()))
-        nonface_total = max(sum(nonface_counts), 1)
 
         results = []
-        given = 0
         for i in range(B):
             m = keep & (bi == i)
             cand = wi[m]
@@ -402,16 +400,11 @@ class CppDetector:
             ry = ((y[cand] - y0s[bnd]) * back).astype(np.int32)
             rs = (win * back).astype(np.int32)
             rects = np.stack([rx, ry, rs, rs], 1).astype(np.int32)
-            if i < B - 1:
-                share = reject_nvis * nonface_counts[i] // nonface_total
-            else:
-                share = reject_nvis - given
-            given += share
             stat = DetectionStatistic(
                 patch_n=mask_ns[i],
                 face_patch_n=len(cand),
                 nonface_patch_n=nonface_counts[i],
-                cart_gothrough_n=int(share),
+                cart_gothrough_n=int(nvis_img[i]) - len(cand) * TK,
             )
             results.append(
                 (
@@ -589,27 +582,15 @@ class CppDetector:
         score = np.asarray(out["score"])
         shape = np.asarray(out["shape"])
         alive = np.asarray(out["alive"])
-        total_nvis = int(np.asarray(out["total_nvis"]))
+        # exact per-image visit banks (test.cpp:146-149 semantics)
+        nvis_img = np.asarray(out["nvis_img"])
 
         n = plan["n"]
         x, y, win = plan["x"], plan["y"], plan["win"]
         keep = (sel >= 0) & alive  # method 1 has no final score threshold
         bi = np.where(sel >= 0, sel // n, -1)
         wi = np.where(sel >= 0, sel % n, 0)
-        faces_total = int(keep.sum())
-        # accepted windows traverse every cart, so the batch's rejected-
-        # window visit total is exact; it is apportioned per image by
-        # nonface share (fold aggregation — the reference's consumer — is
-        # unaffected by the split)
-        reject_nvis = total_nvis - faces_total * TK
-        nonface_counts = []
         results = []
-        for i, g in enumerate(grays):
-            mask_i = (x <= g.shape[1] - win) & (y <= g.shape[0] - win)
-            m = keep & (bi == i)
-            nonface_counts.append(int(mask_i.sum()) - int(m.sum()))
-        nonface_total = max(sum(nonface_counts), 1)
-        given = 0
         for i, g in enumerate(grays):
             mask_n = int(((x <= g.shape[1] - win) & (y <= g.shape[0] - win)).sum())
             m = keep & (bi == i)
@@ -619,16 +600,11 @@ class CppDetector:
             ).astype(np.int32)
             scores_i = score[m].astype(np.float64)
             shapes_i = shape[m].astype(np.float64)
-            if i < B - 1:
-                share = reject_nvis * nonface_counts[i] // nonface_total
-            else:
-                share = reject_nvis - given
-            given += share
             stat = DetectionStatistic(
                 patch_n=mask_n,
                 face_patch_n=len(cand),
-                nonface_patch_n=nonface_counts[i],
-                cart_gothrough_n=int(share),
+                nonface_patch_n=mask_n - len(cand),
+                cart_gothrough_n=int(nvis_img[i]) - len(cand) * TK,
             )
             if c.fddb_nms:
                 picked = NMS.nms_cpp(rects, scores_i, c.fddb_overlap)

@@ -1050,6 +1050,27 @@ class NegGenerator:
             n_par = 1
         self._hard_adaptive = n_par >= 2
 
+    def load_canvas_factory(self, factory: Callable) -> None:
+        """Device-batched near-miss supply (train/mining.CanvasHardMiner).
+
+        `factory(i, difficulty) -> (canvas u8 [C, C], (fx, fy, fsize),
+        any_window)` deterministically renders a face CANVAS: a face of
+        box (fx, fy, fsize) inside clutter margin.  The miner extracts
+        many candidate windows per canvas ON DEVICE (host rendering is
+        the mining bottleneck on a 1-core host: ~1 ms/candidate at <1%
+        deep-stage acceptance), so one render amortizes over dozens of
+        screened windows.  `any_window=True` marks an off-manifold face
+        (distorted landmarks / occlusion): every window overlapping it is
+        a legitimate negative.  `any_window=False` marks a TRUE face:
+        only windows with IoU < 0.48 against the face box are sampled
+        (boundary negatives — the support vectors of detection).
+
+        Shares the adaptive difficulty ladder with generate_hard."""
+        self.canvas_factory = factory
+        self._canvas_cursor = 0
+        if not hasattr(self, "_hard_difficulty"):
+            self._hard_difficulty = 0.0
+
     def generate_hard(
         self,
         validate_fn: Callable,

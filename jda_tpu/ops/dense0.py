@@ -793,28 +793,45 @@ def _scale_filter_pallas_resident(
     return res
 
 
+# NOTE: if you pin JDA_TPU_DENSE_ROLLED_BUDGET externally, recalibrate —
+# the cost model under this gate changed in round 3 (doubled input term +
+# live-temps term) and again in round 4 (depth-dependent temps); stale
+# pins calibrated against the old model behave over-conservatively.
 _ROLLED_VMEM_BUDGET = int(
     _os.environ.get("JDA_TPU_DENSE_ROLLED_BUDGET", str(15_000_000))
 )
 
+# [ny8, nx128] i32/f32 planes the kernel keeps live BEYOND the per-node
+# crop diffs and per-leaf one-hot planes: path bits, score/alive/nvis
+# blocks and their double buffers.  Measured on the real chip for the
+# depth-4 flagship geometry: 36 total live planes - 7 node diffs - 8 leaf
+# planes = 21.  The 15 MB default budget additionally reserves ~1 MB of
+# headroom below Mosaic's 16 MB scoped limit for unmodeled scratch (the
+# emit_lbf word block, int8 rolled-scratch sublane padding to 32-row
+# tiles) — keep that slack when bumping the budget.
+_ROLLED_OVERHEAD_PLANES = 21
 
-def _rolled_fits(geom: dict) -> bool:
+
+def _rolled_fits(geom: dict, depth: int = 4) -> bool:
     """Scoped-VMEM budget check for the pre-rolled-planes kernel.
 
     The working set Mosaic allocates on the kernel stack is NOT just the
     explicit scratch: it is (a) the grid-mapped input block,
     double-buffered across grid steps, (b) the s2*(umax+1) int8 rolled
     variants, and (c) the kernel's live [ny8, nx128] i32/f32 temporaries —
-    ~7 crop diffs + 8 leaf planes + path bits + score/alive/nvis blocks
-    and their double buffers, measured at ~36 planes on the real chip
-    (the VGA win=24 scale blew the 16 MB scoped limit by 1.7 MB while the
-    old inp+scratch model predicted 4.9 MB).  Scales over budget fall
-    back to _scale_filter_pallas_resident, which holds fewer planes live
-    because crops are rolled on demand."""
+    per-node crop diffs + per-leaf one-hot planes + fixed overhead
+    (_ROLLED_OVERHEAD_PLANES), 36 planes measured at depth 4 on the real
+    chip (the VGA win=24 scale blew the 16 MB scoped limit by 1.7 MB
+    while the old inp+scratch model predicted 4.9 MB).  Scales over
+    budget fall back to _scale_filter_pallas_resident, which holds fewer
+    planes live because crops are rolled on demand."""
     s2, Hp, Wp = geom["s2"], geom["Hp"], geom["Wp"]
+    node_n = (1 << (depth - 1)) - 1
+    leaf_n = 1 << (depth - 1)
     inp = 2 * s2 * Hp * Wp * 4
     scratch = s2 * (geom["umax"] + 1) * Hp * Wp
-    temps = 36 * geom["ny8"] * geom["nx128"] * 4
+    planes = node_n + leaf_n + _ROLLED_OVERHEAD_PLANES
+    temps = planes * geom["ny8"] * geom["nx128"] * 4
     return inp + scratch + temps <= _ROLLED_VMEM_BUDGET
 
 
@@ -1279,7 +1296,7 @@ def stage0_filter_mixed(
             )
         elif (
             geom is not None
-            and _rolled_fits(geom)
+            and _rolled_fits(geom, depth)
             and _os.environ.get("JDA_TPU_DENSE_ROLLED", "1") != "0"
         ):
             out = _scale_filter_pallas_rolled(

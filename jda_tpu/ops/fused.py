@@ -168,7 +168,9 @@ def make_fused_fn(
         win = xywin[:, 2][None, :]
         ok = (x <= dims[:, 0][:, None] - win) & (y <= dims[:, 1][:, None] - win)
         alive_flat = (alive_d & ok).reshape(-1)
-        total_nvis = jnp.sum(jnp.where(ok, nvis_d, 0))
+        # per-image cart-visit bank (exact DetectionStatistic per image,
+        # test.cpp:146-149 — not an apportioned batch total)
+        nvis_img = jnp.sum(jnp.where(ok, nvis_d, 0), axis=1)
 
         # -- 2. compaction into the stage-0 rerun budget ---------------------
         S0 = budgets[0]
@@ -212,20 +214,25 @@ def make_fused_fn(
         split = K > 2 * STAGE_SPLIT
         bi_cursor = 1  # next entry of the flat budget tuple
 
-        def do_compact(state, sel_global, total_nvis, budget, carried=None):
+        def bank_nvis(nvis_img, state, sel_global, mask):
+            """Add masked lanes' post-dense visit increments to their own
+            image's bank (lane image id = sel_global // n)."""
+            bid = jnp.where(sel_global >= 0, sel_global // n, 0)
+            inc = jnp.where(mask, state["nvis"] - state["dnvis"], 0)
+            return nvis_img.at[bid].add(inc)
+
+        def do_compact(state, sel_global, nvis_img, budget, carried=None):
             lsel, cnt = compact(state["alive"], budget)
             lvalid = lsel >= 0
             lselc = jnp.maximum(lsel, 0)
             # lanes dropped here were rejected mid-tail: bank their
             # post-dense visit increments before they disappear
             dropped = (sel_global >= 0) & ~state["alive"]
-            total_nvis = total_nvis + jnp.sum(
-                jnp.where(dropped, state["nvis"] - state["dnvis"], 0)
-            )
+            nvis_img = bank_nvis(nvis_img, state, sel_global, dropped)
             state = _gather_state(state, lselc, lvalid)
             sel_global = jnp.where(lvalid, sel_global[lselc], -1)
             carried = None if carried is None else carried[lselc]
-            return state, sel_global, total_nvis, cnt, carried
+            return state, sel_global, nvis_img, cnt, carried
 
         # -- 4. stages 1..T-1 -------------------------------------------------
         # Stage 1 necessarily starts on every stage-0 survivor; lanes are
@@ -245,8 +252,8 @@ def make_fused_fn(
                     rounding=rounding,
                     single_scale=True,
                 )
-                state, sel_global, total_nvis, cnt, leavesA = do_compact(
-                    state, sel_global, total_nvis, budgets[bi_cursor], leavesA
+                state, sel_global, nvis_img, cnt, leavesA = do_compact(
+                    state, sel_global, nvis_img, budgets[bi_cursor], leavesA
                 )
                 counts.append(cnt)
                 bi_cursor += 1
@@ -270,16 +277,14 @@ def make_fused_fn(
                 )
             state = C.apply_regression(dev["W"][t], leaves, state, leaf_n=leaf_n)
             if t < T - 1:
-                state, sel_global, total_nvis, cnt, _ = do_compact(
-                    state, sel_global, total_nvis, budgets[bi_cursor]
+                state, sel_global, nvis_img, cnt, _ = do_compact(
+                    state, sel_global, nvis_img, budgets[bi_cursor]
                 )
                 counts.append(cnt)
                 bi_cursor += 1
 
         # post-dense increments of every lane still resident after stage T-1
-        total_nvis = total_nvis + jnp.sum(
-            jnp.where(sel_global >= 0, state["nvis"] - state["dnvis"], 0)
-        )
+        nvis_img = bank_nvis(nvis_img, state, sel_global, sel_global >= 0)
 
         return {
             "sel": sel_global,  # [budgets[-1]] flat window id or -1
@@ -288,7 +293,8 @@ def make_fused_fn(
             "alive": state["alive"] & (sel_global >= 0),
             "nvis": state["nvis"],
             "counts": jnp.stack(counts),
-            "total_nvis": total_nvis,
+            "nvis_img": nvis_img,  # [B] exact per-image cart visits
+            "total_nvis": jnp.sum(nvis_img),
         }
 
     return run
@@ -461,7 +467,13 @@ def make_fused_fn2(
         yl = y - jnp.take(jnp.asarray(_oy), sidx)[None, :]
         ok = (xl <= wl - win) & (yl <= hl - win)
         alive_ok = alive_d & ok
-        total_nvis = jnp.sum(jnp.where(ok, nvis_d, 0))
+        # per-image cart-visit bank (exact per-image DetectionStatistic)
+        nvis_img = jnp.sum(jnp.where(ok, nvis_d, 0), axis=1)
+
+        def bank_nvis(nvis_img, state, sel_global, mask):
+            bid = jnp.where(sel_global >= 0, sel_global // n, 0)
+            inc = jnp.where(mask, state["nvis"] - state["dnvis"], 0)
+            return nvis_img.at[bid].add(inc)
 
         flat_img = imgs.reshape(-1)
         canvas_S = [g["S"] for g in groups if g["S"] is not None]
@@ -557,10 +569,8 @@ def make_fused_fn2(
                         lvalid = lsel >= 0
                         lselc = jnp.maximum(lsel, 0)
                         dropped = (sel_global >= 0) & ~state["alive"]
-                        total_nvis = total_nvis + jnp.sum(
-                            jnp.where(
-                                dropped, state["nvis"] - state["dnvis"], 0
-                            )
+                        nvis_img = bank_nvis(
+                            nvis_img, state, sel_global, dropped
                         )
                         state = _gather_state(state, lselc, lvalid)
                         canvas = MT.compact_canvas(canvas, lselc)
@@ -611,17 +621,13 @@ def make_fused_fn2(
                         lvalid = lsel >= 0
                         lselc = jnp.maximum(lsel, 0)
                         dropped = (sel_global >= 0) & ~state["alive"]
-                        total_nvis = total_nvis + jnp.sum(
-                            jnp.where(
-                                dropped, state["nvis"] - state["dnvis"], 0
-                            )
+                        nvis_img = bank_nvis(
+                            nvis_img, state, sel_global, dropped
                         )
                         state = _gather_state(state, lselc, lvalid)
                         sel_global = jnp.where(lvalid, sel_global[lselc], -1)
 
-            total_nvis = total_nvis + jnp.sum(
-                jnp.where(sel_global >= 0, state["nvis"] - state["dnvis"], 0)
-            )
+            nvis_img = bank_nvis(nvis_img, state, sel_global, sel_global >= 0)
             outs.append(
                 {
                     "sel": sel_global,
@@ -639,7 +645,8 @@ def make_fused_fn2(
             "alive": jnp.concatenate([o["alive"] for o in outs]),
             "nvis": jnp.concatenate([o["nvis"] for o in outs]),
             "counts": jnp.stack(counts),
-            "total_nvis": total_nvis,
+            "nvis_img": nvis_img,  # [B] exact per-image cart visits
+            "total_nvis": jnp.sum(nvis_img),
         }
 
     return run

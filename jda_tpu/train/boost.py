@@ -227,6 +227,7 @@ class Trainer:
         self.mining_max_batches = 2000
         self.mining_batch = 2048  # windows per validation dispatch
         self._miner = None  # lazy DeviceMiner (train/mining.py)
+        self._canvas_miner = None  # lazy CanvasHardMiner (train/mining.py)
         # single-dispatch cart training (and canvas descent).  Off -> the
         # reference-structured recursion path, which the mesh trainer
         # shares; useful for exact cross-path comparisons under ST where
@@ -855,13 +856,55 @@ class Trainer:
         # hard pool, data.cpp:893-897 — ours is on-demand, so it never runs
         # dry the way round-3's bounded scan did at stage 2+).
         shortfall = want - mined
+        use_canvas = (
+            shortfall > 0
+            and getattr(self.neg_gen, "canvas_factory", None) is not None
+            and os.environ.get("JDA_TPU_CANVAS_MINER", "1") != "0"
+        )
+        if use_canvas:
+            # device-batched near-miss mining: one host canvas render
+            # amortizes over dozens of screened windows (the per-patch
+            # host factory below caps out at ~1k candidates/s on a
+            # 1-core host — minutes per event at deep-stage acceptance)
+            if self._canvas_miner is None:
+                from jda_tpu.train.mining import CanvasHardMiner
+
+                self._canvas_miner = CanvasHardMiner(
+                    self.neg_gen,
+                    c,
+                    per_slot=max(self.mining_batch // 16, 64),
+                )
+            t1 = time.time()
+            hrows, hscores, hshapes, hstats = self._canvas_miner.generate(
+                validator,
+                shortfall,
+                max_batches=max(self.mining_max_batches // 4, 8),
+                rng=self.rng,
+            )
+            if len(hrows):
+                self.neg.append_negatives(
+                    hrows, hscores, hshapes, self.model.mean_shape
+                )
+            log(
+                f"hard-canvas top-up: {len(hrows)}/{shortfall} in "
+                f"{time.time()-t1:.1f}s; FP={hstats['fp_rate']:.6f}, "
+                f"difficulty={hstats.get('difficulty', 0.0):.2f}"
+            )
+            mined += len(hrows)
+            shortfall = want - mined
         if shortfall > 0 and getattr(self.neg_gen, "hard_factory", None):
             t1 = time.time()
             hrows, hscores, hshapes, hstats = self.neg_gen.generate_hard(
                 validator,
                 shortfall,
                 batch=self.mining_batch,
-                max_batches=max(self.mining_max_batches // 4, 8),
+                max_batches=(
+                    # the canvas miner already swept the near-miss space;
+                    # keep the per-patch fallback cheap when it ran
+                    max(self.mining_max_batches // 40, 2)
+                    if use_canvas
+                    else max(self.mining_max_batches // 4, 8)
+                ),
             )
             if len(hrows):
                 self.neg.append_negatives(

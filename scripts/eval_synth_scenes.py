@@ -131,6 +131,10 @@ def main():
 
     model_path = sys.argv[1] if len(sys.argv) > 1 else "models/flagship_synth.model"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "models/scene_eval.json"
+    # ladder density is a detector parameter (the reference's
+    # fddb_scale_factor, model/config.json: 1.2); 1.1 keeps every face's
+    # best ladder window inside the trained scale-tolerance band
+    ladder_scale = float(os.environ.get("JDA_TPU_EVAL_SCALE", "1.25"))
     m = jda_tpu.load_model(model_path)
     det = jda_tpu.Detector(m, rounding=True)
 
@@ -141,7 +145,7 @@ def main():
     # one detection pass at the lowest threshold; the sweep filters by
     # score post-NMS (standard discROC generation)
     sweep = [-1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0]
-    results = det.detect_stream(scenes, batch=8, th=sweep[0])
+    results = det.detect_stream(scenes, batch=8, th=sweep[0], scale=ladder_scale)
 
     from scripts.train_flagship import flagship_config
 
@@ -154,6 +158,7 @@ def main():
         "model": model_path,
         "scenes": N_SCENES,
         "faces": pts[0]["faces"],
+        "ladder_scale": ladder_scale,
         "sweep": pts,
     }
     with open(out_path, "w") as f:

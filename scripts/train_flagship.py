@@ -142,10 +142,14 @@ def make_face(rng, size, jitter=0.018, windowed=True):
     then subsample a jittered window back to `size` through the same
     truncated coordinate map the scan ladder uses.
 
-    The window jitter (scale 0.95-1.2, center ±5%) teaches the cascade
-    the tolerance band the C-API ladder's quantization demands (scale
-    steps of 1.25x, spatial steps of 0.1*win) — without it the scene-eval
-    recall collapses to ~2% (round-3 PERF.md).  GT landmarks are mapped
+    The window jitter (scale 0.87-1.2, center ±6%) teaches the cascade
+    the tolerance band the C-API ladder's quantization demands: a 1.25x
+    scale ladder's best window sits at w/R in [1/sqrt(1.25), sqrt(1.25)]
+    = [0.894, 1.118] and up to 0.05*win off-center (spatial step
+    0.1*win) — the training band must COVER that range (round-4 finding:
+    the earlier [0.95, 1.2] band missed [0.894, 0.95), and scene recall
+    at the 1.25 ladder paid for it; without any window jitter at all,
+    recall collapses to ~2%, round-3 PERF.md).  GT landmarks are mapped
     into window coords, so the joint regressor learns to snap from the
     mean-shape init to the true (jittered) position, exactly the
     reference's random-shift design (data.cpp:225-253)."""
@@ -161,9 +165,9 @@ def make_face(rng, size, jitter=0.018, windowed=True):
     canvas = band_limit(canvas, R / 48.0)  # face + margin in one pass
     lm = lm.reshape(-1, 2) * R + m
     # jittered window (in canvas coords)
-    w = int(round(R * rng.uniform(0.95, 1.2)))
-    cx = m + R / 2 + rng.uniform(-0.05, 0.05) * R
-    cy = m + R / 2 + rng.uniform(-0.05, 0.05) * R
+    w = int(round(R * rng.uniform(0.87, 1.2)))
+    cx = m + R / 2 + rng.uniform(-0.06, 0.06) * R
+    cy = m + R / 2 + rng.uniform(-0.06, 0.06) * R
     x0 = int(np.clip(round(cx - w / 2), 0, C - w))
     y0 = int(np.clip(round(cy - w / 2), 0, C - w))
     patch = subsample_window(canvas, x0, y0, w, size)
@@ -260,7 +264,7 @@ def _lerp(a, b, d):
     return a + (b - a) * d
 
 
-def make_near_miss(rng, size=48, difficulty=0.0):
+def make_near_miss(rng, size=48, difficulty=0.0, mode=None):
     """A pre-registered near-miss candidate for the hard-negative factory
     (NegGenerator.load_hard_factory).
 
@@ -294,7 +298,7 @@ def make_near_miss(rng, size=48, difficulty=0.0):
     Like the reference's hard pool (data.cpp:893-897), every candidate is
     still validated by the current cascade before becoming a negative."""
     d = float(np.clip(difficulty, 0.0, 1.0))
-    mode = int(rng.integers(0, 5))
+    mode = int(rng.integers(0, 5)) if mode is None else int(mode)
     R = int(rng.integers(size, 2 * size + 1))
     if mode == 2:
         jitter = float(rng.uniform(_lerp(0.045, 0.028, d), _lerp(0.09, 0.045, d)))
@@ -353,6 +357,51 @@ def make_near_miss(rng, size=48, difficulty=0.0):
     x0 = int(np.clip(round(cx - w / 2), 0, Csz - w))
     y0 = int(np.clip(round(cy - w / 2), 0, Csz - w))
     return subsample_window(canvas, x0, y0, w, size).astype(np.uint8)
+
+
+def make_hard_canvas(rng, size=48, difficulty=0.0):
+    """A face canvas for the device-batched near-miss miner
+    (jda_tpu.train.mining.CanvasHardMiner): the face render + clutter
+    margin + band-limit of make_face, WITHOUT choosing the window — the
+    miner extracts many candidate windows per canvas on device, so the
+    ~1.5 ms host render amortizes (a 1-core host renders ~1k candidates/s;
+    per-patch rendering was the round-3/4 deep-stage mining wall).
+
+    Returns (canvas u8 [C, C], (fx, fy, R), any_window):
+      kind 0  TRUE face (jitter in the positive band) — only boundary-IoU
+              windows are negatives (any_window=False; the miner samples
+              IoU in [lo(difficulty), 0.48] — modes 0/1/4 of
+              make_near_miss were all window geometry);
+      kind 1  off-manifold landmarks (jitter above the positive band,
+              narrowing toward it with difficulty) — any registered
+              window is a negative;
+      kind 2  structural band occluded/erased — any registered window is
+              a negative.
+    """
+    d = float(np.clip(difficulty, 0.0, 1.0))
+    # kind weights from the round-4 acceptance probe vs the stage-1
+    # cascade (scripts/probe_neg_acceptance.py): geometry-misregistered
+    # windows are rejected in ~3 carts (0% acceptance — the cascade nails
+    # them early and forever), while near-manifold registered faces are
+    # the only distribution that still supplies negatives deep into the
+    # cascade (~1% at max difficulty).  Off-manifold kinds carry the pool.
+    kind = int(rng.choice(3, p=[0.2, 0.5, 0.3]))
+    R = int(rng.integers(size, 2 * size + 1))
+    if kind == 1:
+        jitter = float(rng.uniform(_lerp(0.05, 0.026, d), _lerp(0.09, 0.04, d)))
+    else:
+        jitter = 0.018
+    face, _lm = _render_face(rng, R, jitter, raw=True)
+    if kind == 2:
+        y0 = int(rng.uniform(0.15, 0.6) * R)
+        hgt = int(rng.uniform(_lerp(0.20, 0.13, d), _lerp(0.35, 0.22, d)) * R)
+        face[y0 : y0 + hgt] = int(rng.integers(40, 215))
+    m = R  # margin wide enough for 1.6x off-scale windows at 0.75R offset
+    Csz = 3 * R
+    canvas = rng.integers(40, 215, (Csz, Csz)).astype(np.uint8)
+    canvas[m : m + R, m : m + R] = face
+    canvas = band_limit(canvas, R / 48.0)
+    return canvas, (m, m, R), kind != 0
 
 
 def flagship_config():
@@ -477,6 +526,13 @@ def main():
     tr.neg_gen.load_hard_factory(
         lambda i, d=0.0: make_near_miss(
             np.random.default_rng(9_000_000 + i), c.img_o_size, d
+        )
+    )
+    # device-batched canvas miner: preferred near-miss path (one render,
+    # many windows); the per-patch factory above remains the fallback
+    tr.neg_gen.load_canvas_factory(
+        lambda i, d=0.0: make_hard_canvas(
+            np.random.default_rng(9_500_000 + i), c.img_o_size, d
         )
     )
     e0 = calc_mean_error(

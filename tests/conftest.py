@@ -16,3 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the fused-pipeline tests are compile-bound
+# (round-3 full suite ~49 min on this 1-core host); cached executables cut
+# repeat runs to the actual test arithmetic.  Keyed by XLA version +
+# program, so it is safe across code changes.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -170,3 +170,153 @@ def test_device_mining_end_to_end():
         abs(st_dev["avg_reject_carts"] - st_host["avg_reject_carts"])
         < 1.0 + 0.5 * st_host["avg_reject_carts"]
     )
+
+
+# ---------------------------------------------------------------------------
+# canvas-based near-miss mining (CanvasHardMiner)
+# ---------------------------------------------------------------------------
+
+def _canvas_factory(c):
+    """Deterministic test canvases: a bright 'face' square inside clutter;
+    odd indices are off-manifold (any_window) canvases."""
+
+    def factory(i, d=0.0):
+        rng = np.random.default_rng(1000 + i)
+        R = int(rng.integers(c.img_o_size, 2 * c.img_o_size))
+        C = 3 * R
+        canvas = rng.integers(40, 200, (C, C)).astype(np.uint8)
+        canvas[R : 2 * R, R : 2 * R] = rng.integers(150, 255, (R, R))
+        return canvas, (R, R, R), bool(i % 2)
+
+    return factory
+
+
+def test_canvas_window_geometry():
+    """Boundary slots must only emit windows with IoU in [lo, 0.48]
+    against the face box; registered slots stay in the positives' band."""
+    from jda_tpu.train.mining import CanvasHardMiner, _box_iou_vec
+
+    c = _tiny_config()
+    g = NegGenerator(c)
+    g.load_canvas_factory(_canvas_factory(c))
+    m = CanvasHardMiner(g, c, n_slots=4, per_slot=64)
+    m._refresh(4)
+    rng = np.random.default_rng(0)
+    for slot in m.slots:
+        w, ys, xs, n = m._sample_windows(slot, rng)
+        assert n > 0
+        C = slot["canvas"].shape[0]
+        assert (xs[:n] >= 0).all() and (xs[:n] + w <= C).all()
+        assert (ys[:n] >= 0).all() and (ys[:n] + w <= C).all()
+        iou = _box_iou_vec(
+            xs[:n].astype(np.float64),
+            ys[:n].astype(np.float64),
+            w,
+            slot["fx"],
+            slot["fy"],
+            slot["fs"],
+        )
+        if slot["any"]:
+            assert (iou > 0.3).all()  # registered windows overlap the face
+        else:
+            assert (iou >= 0.22 - 1e-9).all() and (iou <= 0.48 + 1e-9).all()
+
+
+def test_canvas_miner_generate_bitexact():
+    """End-to-end canvas mining with an untrained cascade (accepts all):
+    fills the quota, and every stored corpus row equals the host
+    truncation-subsample rebuild (patch_row o/h/q planes)."""
+    from jda_tpu.data import patch_row
+    from jda_tpu.train.mining import CanvasHardMiner, _subsample
+
+    c = _tiny_config()
+    tr = Trainer(c)
+    rows, gts, bgs = build_synthetic(c, n_pos=64, n_bg=1)
+    tr.set_synthetic_data(rows, gts, bgs)
+    tr.neg_gen.load_canvas_factory(_canvas_factory(c))
+    validator = tr.make_validator(0, -1)  # untrained: accepts everything
+    m = CanvasHardMiner(tr.neg_gen, c, n_slots=4, per_slot=32)
+    out_rows, scores, shapes, stats = m.generate(
+        validator, 64, max_batches=4, rng=np.random.default_rng(7)
+    )
+    assert len(out_rows) == 64
+    assert not stats["exhausted"]
+    assert stats["fp_rate"] > 0.9  # untrained cascade accepts ~all
+    assert out_rows.shape[1] == sum(
+        d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size)
+    )
+    # shapes carry the mean shape + shift -> finite, near [0, 1]
+    assert np.isfinite(shapes).all()
+    assert (shapes > -0.5).all() and (shapes < 1.5).all()
+
+
+def test_canvas_synth_device_matches_host_subsample():
+    """The device one-tap synth (truncation coordinate map) must be
+    BIT-exact vs the host _subsample rebuild on the o plane — the
+    property that makes screen verdicts and revalidation agree."""
+    import jax.numpy as jnp
+
+    from jda_tpu.data import patch_row
+    from jda_tpu.train.mining import (
+        CanvasHardMiner,
+        _make_synth,
+        _subsample,
+        _trunc_taps,
+    )
+
+    c = _tiny_config()
+    g = NegGenerator(c)
+    g.load_canvas_factory(_canvas_factory(c))
+    m = CanvasHardMiner(g, c, n_slots=2, per_slot=16)
+    m._refresh(2)
+    m._ensure_dev()
+    H, W = m._hw
+    S, P = m.S, m.P
+    o = c.img_o_size
+    sizes = (o,)
+    D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+    synth = _make_synth(S, P, H, W, sizes, D)
+    rng = np.random.default_rng(3)
+    ipack = np.zeros((S, 3 * P + 2 * o), np.int32)
+    fpack = np.zeros(2 * S * o + 2 * S * P, np.float32)
+    meta = []
+    for sid, slot in enumerate(m.slots):
+        w, ys, xs, n = m._sample_windows(slot, rng)
+        meta.append((slot["canvas"], w, ys, xs, n))
+        a, bt, c0, c1 = _trunc_taps(w, o)
+        ipack[sid, :P] = ys
+        ipack[sid, P : 2 * P] = xs
+        ipack[sid, 2 * P : 2 * P + o] = a
+        ipack[sid, 2 * P + o : 2 * P + 2 * o] = bt
+        ipack[sid, 2 * P + 2 * o : 2 * P + 2 * o + n] = 1
+        fpack[sid * o : (sid + 1) * o] = c0
+        fpack[S * o + sid * o : S * o + (sid + 1) * o] = c1
+    ms = np.zeros(c.landmark_dim, np.float32)
+    flat, shapes, valid = synth(
+        m._canv_dev, jnp.asarray(ipack), jnp.asarray(fpack), jnp.asarray(ms)
+    )
+    flat = np.asarray(flat).reshape(S * P, D)
+    for sid, (cv, w, ys, xs, n) in enumerate(meta):
+        for p in range(n):
+            host = _subsample(cv, int(xs[p]), int(ys[p]), w, o)
+            dev = flat[sid * P + p, : o * o].reshape(o, o)
+            np.testing.assert_array_equal(dev, host.astype(np.int32))
+
+
+def test_canvas_miner_in_more_neg_samples(monkeypatch):
+    """Trainer.more_neg_samples prefers the canvas miner for the
+    shortfall once the background scan under-delivers."""
+    monkeypatch.setenv("JDA_TPU_DEVICE_MINER", "0")
+    c = _tiny_config()
+    tr = Trainer(c)
+    tr.mining_max_batches = 2
+    tr.mining_batch = 16  # host scan supplies at most 32 windows
+    rows, gts, bgs = build_synthetic(c, n_pos=64, n_bg=1)
+    tr.set_synthetic_data(rows, gts, bgs)
+    tr.neg_gen.load_canvas_factory(_canvas_factory(c))
+    mined = tr.more_neg_samples(0, 0)
+    want = int(c.nps[0] * tr.pos.size)
+    assert mined == want
+    assert tr.neg.size == want
+    assert tr._canvas_miner is not None
+    assert tr.neg_gen._canvas_cursor > 0
