@@ -421,7 +421,131 @@ class CppDetector:
             rects, scores, shapes, st = self._detect_m0_raw_batch([gray])[0]
             stat.add(st)
             return rects, scores, shapes
+        if self._m0_dense_ms_applicable():
+            return self._detect_m0_dense_ms(gray, stat)
         return self._detect_m0_host(gray, stat)
+
+    def _m0_dense_ms_applicable(self) -> bool:
+        import os
+
+        return (
+            not self.det.single_scale
+            and self.params.T > 0
+            and os.environ.get("JDA_TPU_M0_DENSE_MS", "1") != "0"
+        )
+
+    def _detect_m0_dense_ms(self, gray: np.ndarray, stat: DetectionStatistic):
+        """Method-0 detection for MULTI-SCALE models through the dense
+        stage-0 filter: each h/q feature pixel of a resized window patch is
+        a fixed 4-tap OpenCV-exact combination of scan-level pixels
+        (ops/dense0.node_tables_ms), so stage 0 runs densely over the
+        packed pyramid with zero gathers; only stage-0 survivors (typically
+        <1%) pay the per-window cv::resize + full-cascade tail
+        (cascador.cpp:216-262 semantics, bit-exact vs _detect_m0_host)."""
+        import cv2
+
+        c = self.c
+        det = self.det
+        win, step = c.img_o_size, c.fddb_step
+        L2 = self.params.landmark_dim
+
+        def empty():
+            return (
+                np.zeros((0, 4), np.int32),
+                np.zeros(0),
+                np.zeros((0, L2)),
+            )
+
+        levels = self._pyramid_m0(gray)
+        layout = self._m0_layout(gray.shape[0], gray.shape[1])
+        if not levels or not layout:
+            return empty()
+        key = ("ms0", win, step)
+        if key not in self._tab_cache:
+            self._tab_cache[key] = D0.node_tables_ms(
+                det._ms32,
+                det._host_stage0,
+                win,
+                step,
+                (c.img_o_size, c.img_h_size, c.img_q_size),
+                rounding=True,
+            )
+        base_tab = self._tab_cache[key]
+        Hp = layout[-1][0] + layout[-1][1]
+        Wc = gray.shape[1]
+        canvas = np.zeros((Hp, Wc), np.uint8)
+        metas, tabs, xs_all, ys_all, lvl_all = [], [], [], [], []
+        for li, ((y0, h, w), (img, _back)) in enumerate(zip(layout, levels)):
+            canvas[y0 : y0 + img.shape[0], : img.shape[1]] = img
+            ny = (h - win) // step + 1
+            nx = (w - win) // step + 1
+            metas.append((win, step, ny, nx))
+            tabs.append(D0.shift_tables(base_tab, y0, 0, step))
+            gy, gx = np.meshgrid(
+                np.arange(ny, dtype=np.int32) * step,
+                np.arange(nx, dtype=np.int32) * step,
+                indexing="ij",
+            )
+            xs_all.append(gx.reshape(-1))
+            ys_all.append(gy.reshape(-1))
+            lvl_all.append(np.full(gx.size, li, np.int32))
+        x = np.concatenate(xs_all)
+        y = np.concatenate(ys_all)
+        lvl = np.concatenate(lvl_all)
+        img_dev = jnp.asarray(canvas.astype(np.int32))[None]
+        score0, alive0, nvis0 = D0.stage0_filter_all_scales_ms(
+            img_dev,
+            tuple(tabs),
+            meta=tuple(metas),
+            depth=self.params.tree_depth,
+        )
+        alive0 = np.asarray(alive0[0])
+        nvis0 = np.asarray(nvis0[0])
+        n = len(x)
+        stat.patch_n += n
+        reject_nvis = int(nvis0[~alive0].sum())
+        surv = np.flatnonzero(alive0)
+        if len(surv) == 0:
+            stat.nonface_patch_n += n
+            stat.cart_gothrough_n += reject_nvis
+            return empty()
+        # survivors: per-window patch synthesis (host cv2, exactly the
+        # host path's rows) + full-cascade revalidation; stage 0 re-runs
+        # bit-exactly on the resized patches, so dense + tail == host path
+        D = sum(d * d for d in (c.img_o_size, c.img_h_size, c.img_q_size))
+        rows = np.zeros((len(surv), D), np.uint8)
+        for r, wi_ in enumerate(surv):
+            img = levels[lvl[wi_]][0]
+            roi = img[y[wi_] : y[wi_] + win, x[wi_] : x[wi_] + win]
+            o = cv2.resize(roi, (c.img_o_size, c.img_o_size))
+            hh = cv2.resize(roi, (c.img_h_size, c.img_h_size))
+            qq = cv2.resize(roi, (c.img_q_size, c.img_q_size))
+            rows[r] = np.concatenate(
+                [o.reshape(-1), hh.reshape(-1), qq.reshape(-1)]
+            )
+        alive, score, shape, nvis = self._validate_patches(rows)
+        stat.face_patch_n += int(alive.sum())
+        stat.nonface_patch_n += n - int(alive.sum())
+        stat.cart_gothrough_n += reject_nvis + int(nvis[~alive].sum())
+        keep = np.flatnonzero(alive)
+        if not len(keep):
+            return empty()
+        sw = surv[keep]
+        backs = np.asarray([b for _, b in levels], np.float64)[lvl[sw]]
+        rects = np.stack(
+            [
+                (x[sw] * backs).astype(np.int32),
+                (y[sw] * backs).astype(np.int32),
+                (win * backs).astype(np.int32),
+                (win * backs).astype(np.int32),
+            ],
+            1,
+        ).astype(np.int32)
+        return (
+            rects,
+            score[keep].astype(np.float64),
+            shape[keep].astype(np.float64),
+        )
 
     def _detect_m0_host(self, gray: np.ndarray, stat: DetectionStatistic):
         import cv2

@@ -195,6 +195,7 @@ class Detector:
         if self.T > 0:
             p32 = params.astype(np.float32)
             self._host_stage0 = {
+                "scale": params.scale[0],
                 "lmk1": params.lmk1[0],
                 "lmk2": params.lmk2[0],
                 "off1": p32.off1[0],

@@ -83,6 +83,89 @@ def node_tables(
     }
 
 
+def node_tables_ms(
+    mean_shape_f32: np.ndarray,  # [2L] float32
+    stage: Dict[str, np.ndarray],  # host stage-0 params incl. "scale"
+    win: int,
+    step: int,
+    sizes: Tuple[int, int, int],  # (img_o_size, img_h_size, img_q_size)
+    rounding: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Multi-scale crop tables for the dense stage-0 filter (C++ method-0
+    semantics, cascador.cpp:216-262): every window is a win x win crop of
+    the scan level, per-window resized to the o/h/q patch sizes with
+    cv::resize INTER_LINEAR, and feature pixels are read from the resized
+    patch at clip(to_int((mean + offset) * size_s), 0, size_s - 1).
+
+    Because the resize ratio win -> size_s is fixed, each resized-patch
+    pixel is a fixed-point 4-tap combination of window-crop pixels at
+    offsets that are CONSTANT per (cart, node, point) — so the shifted-crop
+    trick extends to multi-scale models: each point becomes 4 phase-plane
+    crops plus OpenCV's exact integer combine (ops/resize.cv_fixed_combine).
+    Origin-scale points degenerate to identity taps (size_o == win in the
+    method-0 scan), costing 4 identical crops — the uniform shape keeps the
+    scan body static.
+
+    Table layout per point p in {1, 2}: pi{p}/u{p}/v{p} [C, node_n, 4]
+    (crop order r0c0, r0c1, r1c0, r1c1), ax0_{p}/ax1_{p}/by0_{p}/by1_{p}
+    [C, node_n] int32 (coefficient scale 2^11)."""
+    from jda_tpu.ops.resize import cv_linear_taps_fixed
+
+    ms_x = mean_shape_f32[0::2].astype(np.float32)
+    ms_y = mean_shape_f32[1::2].astype(np.float32)
+    scale_arr = np.asarray(stage["scale"], np.int32)  # [C, node_n]
+    sizes = tuple(int(s) for s in sizes)
+    size_of = np.asarray(sizes, np.int32)[scale_arr]  # [C, node_n]
+    msz = max(sizes)
+    # padded per-scale tap LUTs [3, msz]
+    lut_s0 = np.zeros((3, msz), np.int32)
+    lut_s1 = np.zeros((3, msz), np.int32)
+    lut_c0 = np.zeros((3, msz), np.int32)
+    lut_c1 = np.zeros((3, msz), np.int32)
+    for s, sz in enumerate(sizes):
+        s0, s1, c0, c1 = cv_linear_taps_fixed(win, sz)
+        lut_s0[s, :sz], lut_s1[s, :sz] = s0, s1
+        lut_c0[s, :sz], lut_c1[s, :sz] = c0, c1
+
+    def to_int(v):
+        if rounding:
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int32
+            )
+        return v.astype(np.int32)
+
+    out: Dict[str, np.ndarray] = {}
+    for p, (lmk, off) in enumerate(
+        ((stage["lmk1"], stage["off1"]), (stage["lmk2"], stage["off2"])), 1
+    ):
+        px = ms_x[lmk] + off[..., 0].astype(np.float32)
+        py = ms_y[lmk] + off[..., 1].astype(np.float32)
+        szf = size_of.astype(np.float32)
+        xr = np.clip(to_int(px * szf), 0, size_of - 1)
+        yr = np.clip(to_int(py * szf), 0, size_of - 1)
+        c0 = lut_s0[scale_arr, xr]
+        c1 = lut_s1[scale_arr, xr]
+        r0 = lut_s0[scale_arr, yr]
+        r1 = lut_s1[scale_arr, yr]
+        ys = np.stack([r0, r0, r1, r1], -1)  # [C, node_n, 4] src rows
+        xs = np.stack([c0, c1, c0, c1], -1)  # src cols
+        out[f"pi{p}"] = ((ys % step) * step + (xs % step)).astype(np.int32)
+        out[f"u{p}"] = (ys // step).astype(np.int32)
+        out[f"v{p}"] = (xs // step).astype(np.int32)
+        out[f"ax0_{p}"] = lut_c0[scale_arr, xr]
+        out[f"ax1_{p}"] = lut_c1[scale_arr, xr]
+        out[f"by0_{p}"] = lut_c0[scale_arr, yr]
+        out[f"by1_{p}"] = lut_c1[scale_arr, yr]
+    out.update(
+        th=np.asarray(stage["feat_th"], np.int32),
+        ls=np.asarray(stage["leaf_scores"], np.float32),
+        mean=np.asarray(stage["mean"], np.float32),
+        std=np.asarray(stage["std"], np.float32),
+        cth=np.asarray(stage["cart_th"], np.float32),
+    )
+    return out
+
+
 def shift_tables(
     tab: Dict[str, np.ndarray], y0: int, x0: int, step: int
 ) -> Dict[str, np.ndarray]:
@@ -260,6 +343,129 @@ def _scale_filter(img, tabs, *, step, ny, nx, depth, emit_lbf=False):
     # ys [nblk, B, ny, nx, cb/8] -> [B, ny, nx, NW]
     lbf = jnp.moveaxis(ys, 0, 3).reshape(B, ny, nx, -1)[..., : lbf_words(K)]
     return score, alive, nvis, lbf
+
+
+def _scale_filter_ms(img, tabs, *, step, ny, nx, depth, emit_lbf=False):
+    """Multi-scale variant of _scale_filter: each node point is 4 shifted
+    crops combined with OpenCV's exact fixed-point bilinear arithmetic
+    (node_tables_ms).  Same blocking/score-chain structure; XLA scan only
+    (the Pallas kernels stay single-scale)."""
+    from jda_tpu.ops.resize import cv_fixed_combine
+
+    B = img.shape[0]
+    ph = _phase_decompose(img, step).astype(PLANE_DTYPE)
+    node_n = (1 << (depth - 1)) - 1
+    K = tabs["th"].shape[0]
+    cb = 8 * -(-CART_BLOCK // 8) if emit_lbf else CART_BLOCK
+
+    tabs = dict(tabs)
+    tabs["real"] = jnp.ones((K,), jnp.int32)
+    kpad = (-K) % cb
+    if kpad:
+        def padtab(k, v):
+            fill = 1.0 if k == "std" else (-jnp.inf if k == "cth" else 0)
+            return jnp.pad(
+                v,
+                [(0, kpad)] + [(0, 0)] * (v.ndim - 1),
+                constant_values=fill,
+            )
+
+        tabs = {k: padtab(k, jnp.asarray(v)) for k, v in tabs.items()}
+    blocked = {
+        k: jnp.asarray(v).reshape((-1, cb) + jnp.asarray(v).shape[1:])
+        for k, v in tabs.items()
+    }
+
+    def body(carry, xb):
+        s, alive, nvis = carry
+        block_leaves = []
+        for ci in range(cb):
+            x = {k: v[ci] for k, v in xb.items()}
+
+            def pix(j, p):
+                crops = []
+                for t in range(4):
+                    cpl = jax.lax.dynamic_slice(
+                        ph,
+                        (
+                            0,
+                            x[f"pi{p}"][j, t],
+                            x[f"u{p}"][j, t],
+                            x[f"v{p}"][j, t],
+                        ),
+                        (B, 1, ny, nx),
+                    )[:, 0].astype(jnp.int32)
+                    crops.append(cpl)
+                t0 = x[f"ax0_{p}"][j] * crops[0] + x[f"ax1_{p}"][j] * crops[1]
+                t1 = x[f"ax0_{p}"][j] * crops[2] + x[f"ax1_{p}"][j] * crops[3]
+                return cv_fixed_combine(t0, t1, x[f"by0_{p}"][j], x[f"by1_{p}"][j])
+
+            vals = [pix(j, 1) - pix(j, 2) for j in range(node_n)]
+            bits = []
+            for r in range(depth - 1):
+                planes = [
+                    vals[j] > x["th"][j]
+                    for j in range((1 << r) - 1, (1 << (r + 1)) - 1)
+                ]
+                bits.append(_bit_select(planes, bits))
+            leaf_planes = [
+                jnp.broadcast_to(x["ls"][j], s.shape)
+                for j in range(node_n + 1)
+            ]
+            b = _bit_select(leaf_planes, bits)
+            if emit_lbf:
+                block_leaves.append(_leaf_plane(bits))
+
+            s_new = (s + b - x["mean"]) / x["std"]
+            s = jnp.where(alive, s_new, s)
+            nvis = nvis + alive.astype(jnp.int32) * x["real"]
+            alive = alive & (s >= x["cth"])
+        ys = _pack_leaf_block(block_leaves) if emit_lbf else None
+        return (s, alive, nvis), ys
+
+    init = (
+        jnp.zeros((B, ny, nx), jnp.float32),
+        jnp.ones((B, ny, nx), bool),
+        jnp.zeros((B, ny, nx), jnp.int32),
+    )
+    (score, alive, nvis), ys = jax.lax.scan(body, init, blocked)
+    if not emit_lbf:
+        return score, alive, nvis
+    lbf = jnp.moveaxis(ys, 0, 3).reshape(B, ny, nx, -1)[..., : lbf_words(K)]
+    return score, alive, nvis, lbf
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "depth", "emit_lbf"))
+def stage0_filter_all_scales_ms(
+    img: jnp.ndarray,  # [B, H, W] int32
+    tabs: Tuple[Dict[str, jnp.ndarray], ...],  # node_tables_ms per scale
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],  # (win, step, ny, nx)
+    depth: int,
+    emit_lbf: bool = False,
+):
+    """stage0_filter_all_scales for multi-scale models (method-0 packed
+    pyramids): one program over every scan grid, _scale_filter_ms bodies."""
+    scores, alives, nviss, lbfs = [], [], [], []
+    B = img.shape[0]
+    for (win, step, ny, nx), tab in zip(meta, tabs):
+        out = _scale_filter_ms(
+            img, tab, step=step, ny=ny, nx=nx, depth=depth, emit_lbf=emit_lbf
+        )
+        s, a, nv = out[:3]
+        scores.append(s.reshape(B, ny * nx))
+        alives.append(a.reshape(B, ny * nx))
+        nviss.append(nv.reshape(B, ny * nx))
+        if emit_lbf:
+            lbfs.append(out[3].reshape(B, ny * nx, -1))
+    res = (
+        jnp.concatenate(scores, axis=1),
+        jnp.concatenate(alives, axis=1),
+        jnp.concatenate(nviss, axis=1),
+    )
+    if emit_lbf:
+        return res + (jnp.concatenate(lbfs, axis=1),)
+    return res
 
 
 # windows per grid under which the static-slice filter applies (small

@@ -102,6 +102,58 @@ def resize_bilinear_cv(img: np.ndarray, w: int, h: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def cv_linear_taps_fixed(
+    src_n: int, dst_n: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-output-index fixed-point taps of OpenCV's 8-bit INTER_LINEAR
+    resize along one axis: (s0, s1, c0, c1) with
+    out-of-pass value = c0*src[s0] + c1*src[s1], coefficients scaled by
+    2048 (INTER_RESIZE_COEF_SCALE).
+
+    OpenCV maps dst i to src (i+0.5)*src_n/dst_n - 0.5, floors, clamps the
+    fraction to 0 at both borders, and rounds each coefficient to short
+    independently (cvRound = round half to even).
+    """
+    src = (np.arange(dst_n, dtype=np.float64) + 0.5) * (src_n / dst_n) - 0.5
+    s0 = np.floor(src).astype(np.int64)
+    fx = src - s0
+    fx = np.where(s0 < 0, 0.0, fx)
+    s0 = np.maximum(s0, 0)
+    fx = np.where(s0 >= src_n - 1, 0.0, fx)
+    s0 = np.minimum(s0, src_n - 1)
+    c1 = np.rint(fx * 2048.0).astype(np.int32)
+    c0 = np.rint((1.0 - fx) * 2048.0).astype(np.int32)
+    s1 = np.minimum(s0 + 1, src_n - 1)
+    return s0.astype(np.int32), s1.astype(np.int32), c0, c1
+
+
+def cv_fixed_combine(t0, t1, b0, b1):
+    """OpenCV's 8u vertical-pass fixed-point cast, exactly as the SIMD
+    VResizeLinearVec_32s8u computes it: inputs t are horizontal-pass
+    accumulators (c0*p0 + c1*p1, scale 2^11, int32); output is the u8
+    pixel value as int32:  (((b0*(t0>>4))>>16) + ((b1*(t1>>4))>>16) + 2) >> 2.
+    Works on numpy or jax arrays (>> is arithmetic; all values >= 0)."""
+    return (((b0 * (t0 >> 4)) >> 16) + ((b1 * (t1 >> 4)) >> 16) + 2) >> 2
+
+
+def resize_bilinear_cv_exact(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Bit-exact OpenCV INTER_LINEAR 8-bit resize (host reference).
+
+    Reproduces cv2.resize(img, (w, h))'s fixed-point pipeline: horizontal
+    pass accumulates short coefficients (scale 2^11) into int32, the
+    vertical pass applies cv_fixed_combine.  Verified element-exact
+    against the installed OpenCV (5.0) over random images and the
+    detection-relevant size pairs; used where device code must agree with
+    host cv2.resize bit-for-bit (the multi-scale method-0 patch pyramid,
+    cascador.cpp:243-245)."""
+    assert img.dtype == np.uint8 and img.ndim == 2
+    c_s0, c_s1, c_c0, c_c1 = cv_linear_taps_fixed(img.shape[1], w)
+    r_s0, r_s1, r_c0, r_c1 = cv_linear_taps_fixed(img.shape[0], h)
+    t = img[:, c_s0].astype(np.int32) * c_c0 + img[:, c_s1].astype(np.int32) * c_c1
+    out = cv_fixed_combine(t[r_s0], t[r_s1], r_c0[:, None], r_c1[:, None])
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def stack_pyramid(
     imgs: Tuple[np.ndarray, ...]
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
