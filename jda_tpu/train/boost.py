@@ -226,6 +226,17 @@ class Trainer:
         self.single_scale = not c.multi_scale
         self.mining_max_batches = 2000
         self.mining_batch = 2048  # windows per validation dispatch
+        # mining-exhaustion economics: a mining event that nets fewer than
+        # dry_yield_frac * want negatives counts as "dry" (0.0 = only a
+        # fully-empty event does, the strict reference-like behaviour).
+        # Deep stages of a near-converged detector can trickle a handful
+        # of negatives per multi-minute event forever (FP ~1e-5 means the
+        # supply is genuinely spent); two consecutive dry events trigger
+        # the same pass-through stage finalization as full exhaustion
+        # instead of grinding the round's wall-clock (data.cpp:913-925's
+        # infinite spin is the failure mode this replaces).
+        self.dry_yield_frac = 0.0
+        self._last_want = 0
         self._miner = None  # lazy DeviceMiner (train/mining.py)
         self._canvas_miner = None  # lazy CanvasHardMiner (train/mining.py)
         # single-dispatch cart training (and canvas descent).  Off -> the
@@ -793,6 +804,7 @@ class Trainer:
         want = int(c.nps[t] * self.pos.size) - self.neg.size
         if want <= 0:
             return -1
+        self._last_want = want
         log(f"mining {want} hard negatives (stage {t}, cart {k})")
         t0 = time.time()
         validator = self.make_validator(t, k - 1)
@@ -945,9 +957,13 @@ class Trainer:
             if neg.size < max(neg_th, 1):
                 mined = self.more_neg_samples(t, k)
                 neg_th = int(neg.size * c.mining_th[t])
-                dry_minings = (
-                    dry_minings + 1 if (mined == 0 and neg.size == 0) else 0
+                dry = (mined == 0 and neg.size == 0) or (
+                    # low-yield exhaustion (see dry_yield_frac above): the
+                    # event ran all its bounded miners and netted a trickle
+                    self.dry_yield_frac > 0.0
+                    and 0 <= mined < self.dry_yield_frac * self._last_want
                 )
+                dry_minings = dry_minings + 1 if dry else 0
                 if dry_minings >= 2:
                     # the background pool has no hard negatives left; the
                     # reference would spin forever (data.cpp:913-925) —
@@ -1026,6 +1042,19 @@ class Trainer:
                     else:
                         self.model.mean[t, k] = 0.0
                         self.model.std[t, k] = 1.0
+                    # the restored cart's snapshotted th belongs to the
+                    # score distribution of the round it was trained in;
+                    # after re-scoring with the restored leaves, a stale th
+                    # can land anywhere in the new distribution and remove()
+                    # would mass-drop positives.  Recompute it so removal
+                    # drops exactly drop_n again — the reference keeps the
+                    # stale value (the author's own disabled assert at
+                    # btcart.cpp:225 documents the mismatch; in one observed
+                    # run it silently dropped 70% of all positives in one
+                    # cart, flattening recall of the final detector).
+                    self.model.cart_th[t, k] = pos.calc_threshold_by_number(
+                        drop_n
+                    )
                 else:
                     pos.reset_scores()
                     neg.reset_scores()
@@ -1033,6 +1062,12 @@ class Trainer:
 
             best_drop_rate = 0.0
             restarts = 0
+            # clear the kept-cart memory: without this, a later cart whose
+            # restarts all score 0.0% drop (tmp_drop > best_drop_rate never
+            # fires) would install THIS cart's snapshot — foreign splits,
+            # foreign leaves, foreign th (the reference leaks its best_cart
+            # the same way, btcart.cpp:138,201-208)
+            best_cart_snapshot = None
             pos.remove(self.model.cart_th[t, k])
             neg.remove(self.model.cart_th[t, k])
             neg_rejected += neg_n - neg.size

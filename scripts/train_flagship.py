@@ -464,6 +464,28 @@ def main():
         default=None,
         help="corpus snapshot (DataSet.snapshot) matching --resume",
     )
+    # mining-economics knobs for deep stages of a near-converged detector
+    # (FP ~1e-5: multi-minute mining events net a handful of negatives)
+    ap.add_argument(
+        "--mining-th", type=float, default=None,
+        help="override config mining_th (re-mine when neg pool falls below "
+        "this fraction of the quota; lower = fewer mining events)",
+    )
+    ap.add_argument(
+        "--dry-yield-frac", type=float, default=0.0,
+        help="mining events netting < frac*want negatives count as dry; "
+        "two consecutive dry events pass-through-finalize the stage "
+        "(Trainer.dry_yield_frac)",
+    )
+    ap.add_argument(
+        "--no-restart", action="store_true",
+        help="disable cart restarts (tiny mined pools quantize drop rates "
+        "to 0%% and trigger pathological restart loops)",
+    )
+    ap.add_argument(
+        "--mining-max-batches", type=int, default=400,
+        help="bound on validation dispatches per mining event",
+    )
     args = ap.parse_args()
 
     import jax
@@ -479,18 +501,23 @@ def main():
 
     c = flagship_config()
     drops = args.drops if args.drops is not None else (1 if args.n_pos >= 8192 else 0)
-    if args.stages < 5 or args.k != 540 or drops != 1:
-        import dataclasses
+    import dataclasses
 
+    if args.stages < 5 or args.k != 540 or drops != 1:
         c = dataclasses.replace(
             c, T=args.stages, K=args.k, drops=(drops,) * args.stages
         )
+    if args.mining_th is not None:
+        c = dataclasses.replace(c, mining_th=(args.mining_th,) * c.T)
+    if args.no_restart:
+        c = dataclasses.replace(c, restart_on=False)
 
     tr = Trainer(c)
     # the miner stops as soon as the quota fills, so a high cap only costs
     # wall-clock when supply is genuinely thin (deep stages)
-    tr.mining_max_batches = 400
+    tr.mining_max_batches = args.mining_max_batches
     tr.mining_batch = 8192
+    tr.dry_yield_frac = args.dry_yield_frac
     rng = np.random.default_rng(7)
     if args.resume:
         # continue from a stage-end snapshot pair (model + corpus)
