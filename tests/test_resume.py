@@ -46,7 +46,15 @@ def test_resume_after_stage(tmp_path):
     # stage 1 untouched, stage 2 trained, cursor completed
     np.testing.assert_allclose(tr2.model.W[0], stage0_W)
     np.testing.assert_allclose(tr2.model.cart_th[0], stage0_th)
-    assert (tr2.model.cart_th[1] > -1e29).all()  # stage 2 thresholds set
+    # stage 2 trained from the snapshot; the tiny fixture's mining can
+    # legitimately dry up mid-stage, in which case the trailing carts are
+    # exact pass-throughs (th = -inf) — require a trained prefix with no
+    # gaps, not a fully-thresholded stage
+    th1 = tr2.model.cart_th[1]
+    finite = th1 > -1e29
+    assert finite[0]
+    n_trained = int(finite.sum())
+    assert finite[:n_trained].all() and not finite[n_trained:].any()
     assert np.abs(tr2.model.W[1]).sum() > 0
     assert tr2.model.stage_idx == c.T
     assert tr2.pos.size > 0
