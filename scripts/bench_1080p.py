@@ -83,7 +83,9 @@ def main():
                 "windows_per_sec_stream": round(
                     windows * FRAMES / stream_s, 1
                 ),
-                "tail": os.environ.get("JDA_TPU_TAIL", "mxu"),
+                # report the detector's actual defaults (detect.py
+                # _mxu_tail_enabled / _canvas_mode)
+                "tail": os.environ.get("JDA_TPU_TAIL", "gather"),
                 "canvas": os.environ.get("JDA_TPU_CANVAS", "rows"),
             }
         )

@@ -144,7 +144,7 @@ def main():
 
     # one detection pass at the lowest threshold; the sweep filters by
     # score post-NMS (standard discROC generation)
-    sweep = [-1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0]
+    sweep = [-3.0, -2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0]
     results = det.detect_stream(scenes, batch=8, th=sweep[0], scale=ladder_scale)
 
     from scripts.train_flagship import flagship_config
