@@ -26,7 +26,12 @@ def t_once(fn):
     t0 = time.perf_counter()
     out = fn()
     # force materialization (relay's block_until_ready does not block)
-    for v in (out.values() if isinstance(out, dict) else [out]):
+    vals = (
+        out.values() if isinstance(out, dict)
+        else out if isinstance(out, (tuple, list))
+        else [out]
+    )
+    for v in vals:
         np.asarray(v)
     return time.perf_counter() - t0
 
@@ -88,13 +93,21 @@ def main():
     meta = plan["scales"]
     depth = det.depth
 
+    # exactly the dense program the fused plan runs (static_tabs + s0_lbf)
+    s0_lbf = det._s0_lbf_enabled()
+
     @jax.jit
     def dense_only(imgs_dev, tabs):
-        return D0.stage0_filter_mixed(
-            imgs_dev.astype(jnp.int32), tabs, meta=meta, depth=depth
+        out = D0.stage0_filter_mixed(
+            imgs_dev.astype(jnp.int32), tabs, meta=meta, depth=depth,
+            static_tabs=plan.get("static_tabs"), emit_lbf=s0_lbf,
         ) if plan.get("use_pallas") else D0.stage0_filter_all_scales(
-            imgs_dev.astype(jnp.int32), tabs, meta=meta, depth=depth
+            imgs_dev.astype(jnp.int32), tabs, meta=meta, depth=depth,
+            emit_lbf=s0_lbf,
         )
+        # scalar summaries: time compute, not a ~100 MB relay download
+        return tuple(jnp.sum(v.astype(jnp.int64) if v.dtype != jnp.float32
+                             else v) for v in out)
 
     dense_only(up, plan["tabs"])  # compile
     dense_s = min(t_once(lambda: dense_only(up, plan["tabs"])) for _ in range(reps))
