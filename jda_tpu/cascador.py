@@ -432,7 +432,39 @@ class CppDetector:
             not self.det.single_scale
             and self.params.T > 0
             and os.environ.get("JDA_TPU_M0_DENSE_MS", "1") != "0"
+            and self._cv_resize_model_ok()
         )
+
+    def _cv_resize_model_ok(self) -> bool:
+        """One-time self-check: the dense multi-scale tables bake in a
+        software model of cv2.resize (ops/resize.resize_bilinear_cv_exact,
+        derived from OpenCV's SIMD vertical-pass arithmetic); some OpenCV
+        builds take the scalar FixedPtCast tail on certain widths, which
+        can differ by 1 LSB.  Verify the model against the *installed* cv2
+        on the actual (win -> o/h/q) shapes; on any mismatch the detector
+        silently uses the per-window host path instead (bit-exactness of
+        _detect_m0_dense_ms vs _detect_m0_host is the contract)."""
+        ok = getattr(self, "_cv_resize_ok", None)
+        if ok is None:
+            from jda_tpu.ops.resize import resize_bilinear_cv_exact
+
+            try:
+                import cv2
+            except ImportError:
+                self._cv_resize_ok = False
+                return False
+            c = self.c
+            rng = np.random.default_rng(0)
+            roi = rng.integers(0, 256, (c.img_o_size, c.img_o_size), np.uint8)
+            ok = True
+            for d in (c.img_o_size, c.img_h_size, c.img_q_size):
+                want = cv2.resize(roi, (d, d))
+                got = resize_bilinear_cv_exact(roi, d, d)
+                if not np.array_equal(want, got):
+                    ok = False
+                    break
+            self._cv_resize_ok = ok
+        return self._cv_resize_ok
 
     def _detect_m0_dense_ms(self, gray: np.ndarray, stat: DetectionStatistic):
         """Method-0 detection for MULTI-SCALE models through the dense

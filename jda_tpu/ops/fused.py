@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from jda_tpu.ops import cascade as C
-from jda_tpu.ops import canvas_pallas as CP
 from jda_tpu.ops import dense0 as D0
 from jda_tpu.ops import mxu_tail as MT
 
@@ -396,7 +395,7 @@ def make_fused_fn2(
     use_pallas: bool = False,
     rounding: bool = False,
     origins: Optional[Tuple[Tuple[int, int], ...]] = None,
-    canvas_mode: str = "rows",  # gather | rows | pallas (materialization)
+    canvas_mode: str = "rows",  # gather | rows (canvas materialization)
     static_tabs=None,  # host node tables for small grids (make_fused_fn)
     s0_lbf: bool = False,  # see make_fused_fn
 ):
@@ -406,9 +405,10 @@ def make_fused_fn2(
     of the groups' final lanes.
 
     canvas_mode picks how survivor canvases are materialized: "gather"
-    (jnp.take element gather — the wall), "rows" (row-span slice gather,
-    ~S-fold cheaper), "pallas" (per-lane 2D DMA kernel, HBM-bandwidth;
-    TPU only).
+    (jnp.take element gather — the wall) or "rows" (row-span slice gather,
+    ~S-fold cheaper).  A per-lane 2D-DMA Pallas canvas existed through
+    round 4 but faulted the TPU worker inside the fused program and lost
+    every A/B it was reachable from (PERF.md r3/r4); it was removed.
 
     origins (optional) gives each meta entry a canvas origin (y0, x0) —
     used by banded scans (method-0 pyramid packing, 1080p row bands) whose
@@ -476,12 +476,6 @@ def make_fused_fn2(
             return nvis_img.at[bid].add(inc)
 
         flat_img = imgs.reshape(-1)
-        canvas_S = [g["S"] for g in groups if g["S"] is not None]
-        imgs_pad = (
-            CP.pad_images(imgs, max(canvas_S))
-            if canvas_S and canvas_mode == "pallas"
-            else None
-        )
         outs = []  # per-group {sel, score, shape, alive, nvis}
         counts = []
 
@@ -519,9 +513,7 @@ def make_fused_fn2(
             if g["S"] is not None:
                 # ---- MXU canvas tail -----------------------------------
                 S = g["S"]
-                if canvas_mode == "pallas":
-                    canvas = CP.canvas_pallas(imgs_pad, b_idx, wx, wy, S)
-                elif canvas_mode == "rows":
+                if canvas_mode == "rows":
                     canvas = MT.canvas_rows(flat_img, b_idx, wx, wy, H, W, S)
                 else:
                     canvas = MT.canvas_from_windows(

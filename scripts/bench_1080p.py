@@ -8,7 +8,7 @@ tail, NMS), both as single-frame latency (B=1, the interactive shape) and
 as pipelined streaming throughput (detect_stream, the camera-feed shape).
 
 Env knobs for A/B: JDA_TPU_TAIL (mxu|gather), JDA_TPU_CANVAS
-(gather|rows|pallas), B1080_BATCH, B1080_FRAMES.
+(gather|rows), B1080_BATCH, B1080_FRAMES.
 
 Prints one JSON line with sec/frame (median), stream fps, and the ladder's
 window count.

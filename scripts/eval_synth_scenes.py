@@ -132,8 +132,10 @@ def main():
     model_path = sys.argv[1] if len(sys.argv) > 1 else "models/flagship_synth.model"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "models/scene_eval.json"
     # ladder density is a detector parameter (the reference's
-    # fddb_scale_factor, model/config.json: 1.2); 1.1 keeps every face's
-    # best ladder window inside the trained scale-tolerance band
+    # fddb_scale_factor, model/config.json: 1.2); the default 1.25 ladder
+    # puts every face's best window within [1/sqrt(1.25), sqrt(1.25)] =
+    # [0.894, 1.118] of its true scale, inside the widened training band
+    # ([0.87, 1.2], train_flagship.make_face)
     ladder_scale = float(os.environ.get("JDA_TPU_EVAL_SCALE", "1.25"))
     m = jda_tpu.load_model(model_path)
     det = jda_tpu.Detector(m, rounding=True)

@@ -38,8 +38,10 @@ def main():
     c = flagship_config()
     tr = Trainer(c)
     tr.model = load_model(model_path)
-    # completed stages + no partial carts (stage-boundary snapshot)
-    stage = tr.model.stage_idx if tr.model.cart_idx < 0 else tr.model.stage_idx
+    # make_validator takes the cursor directly: stage_idx completed
+    # stages plus carts [0, cart_idx] of the partial stage (cart_idx=-1
+    # at a stage boundary)
+    stage = tr.model.stage_idx
     cart = tr.model.cart_idx
     print(f"model cursor: stage_idx={tr.model.stage_idx} cart_idx={tr.model.cart_idx}")
     validator = tr.make_validator(stage, cart)

@@ -97,8 +97,10 @@ def score_outputs(root: str, folds: int):
             n = int(toks[i + 1])
             boxes = gt.get(name, np.zeros((0, 6)))
             gt_boxes = [
-                (e[3] - e[0], e[4] - e[0], 2 * e[0]) for e in boxes
-            ]  # (x0, y0, w) of the circle's bbox (major == minor == r here)
+                (e[3] - e[0], e[4] - e[1], 2 * e[0]) for e in boxes
+            ]  # (x0, y0, w): x from the major half-axis, y from the minor
+            # (FDDB ellipse rows are (major, minor, angle, cx, cy, 1);
+            # equal for the synthetic circles, distinct on real lists)
             rows = [
                 [float(v) for v in toks[i + 2 + j].split()] for j in range(n)
             ]

@@ -19,14 +19,11 @@ QUICK = [
     ("v1 gather tail B=8", {"JDA_TPU_TAIL": "gather"}),
     ("mxu canvas=gather B=8", {"JDA_TPU_CANVAS": "gather"}),
     ("mxu canvas=rows B=8", {"JDA_TPU_CANVAS": "rows"}),
-    ("mxu canvas=pallas B=8", {"JDA_TPU_CANVAS": "pallas"}),
 ]
 
 FULL = QUICK + [
     ("v1 gather tail B=16", {"JDA_TPU_TAIL": "gather", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
     ("mxu canvas=rows B=16", {"JDA_TPU_CANVAS": "rows", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
-    ("mxu canvas=pallas B=16", {"JDA_TPU_CANVAS": "pallas", "BENCH_BATCH": "16", "BENCH_CHUNKS": "4"}),
-    ("mxu canvas=pallas B=32", {"JDA_TPU_CANVAS": "pallas", "BENCH_BATCH": "32", "BENCH_CHUNKS": "2"}),
     ("v1 gather tail B=32", {"JDA_TPU_TAIL": "gather", "BENCH_BATCH": "32", "BENCH_CHUNKS": "2"}),
 ]
 
