@@ -105,6 +105,32 @@ def main():
         ref_ips = float(np.median(ref_runs))
         vs = ours_ips / ref_ips
 
+    # 1080p streaming (BASELINE config 4, the live shape) on the same
+    # detector/model — captured here so the driver records it in
+    # BENCH_r*.json instead of PERF.md prose.  Small frame count: the
+    # metric is warm streaming FPS, compile rides the jit cache.
+    p1080 = {}
+    if os.environ.get("BENCH_1080", "1") != "0":
+        try:
+            Hh, Ww = 1080, 1920
+            B2 = int(os.environ.get("BENCH_1080_BATCH", "2"))
+            n_f = 4 * B2
+            frames = [make_image(Hh, Ww, seed=31 + i) for i in range(n_f)]
+            w1080 = len(
+                enumerate_windows(Ww, Hh, kw["scale"], kw["min_size"], Hh)[0]
+            )
+            det.detect_stream(frames[: 2 * B2], batch=B2, **kw)  # warm
+            t0 = time.perf_counter()
+            det.detect_stream(frames, batch=B2, **kw)
+            s1080 = time.perf_counter() - t0
+            p1080 = {
+                "p1080_stream_fps": round(n_f / s1080, 3),
+                "p1080_windows_per_frame": w1080,
+                "p1080_windows_per_sec": round(w1080 * n_f / s1080, 1),
+            }
+        except Exception as e:  # never let the live shape sink the bench
+            p1080 = {"p1080_error": repr(e)}
+
     print(
         json.dumps(
             {
@@ -116,6 +142,7 @@ def main():
                 "windows_per_sec": round(ours_ips * windows_per_img, 1),
                 "runs_images_per_sec": [round(v, 3) for v in ours_runs],
                 "ref_runs_images_per_sec": [round(v, 3) for v in ref_runs],
+                **p1080,
             }
         )
     )

@@ -49,6 +49,29 @@ class DetectionResult:
     scores: np.ndarray  # [n] float32
 
 
+def _grown_budgets(budgets, counts) -> tuple:
+    """Budgets after an overflow: every overflowed entry jumps to its
+    measured population (+25%, 256-rounded), and entries DOWNSTREAM of an
+    overflowed one are scaled by the same growth ratio — their reported
+    counts were measured under the clipped upstream population, so growing
+    only the overflowed entry re-overflows one entry per recompile (a
+    staged-reveal ladder of ~minutes-each compiles).  Overshoot is cheap:
+    the post-stream trim reclaims it."""
+    new = list(budgets)
+    ratio = 1.0
+    for i, b in enumerate(budgets):
+        if ratio > 1.0:
+            new[i] = max(
+                new[i], (int(b * ratio) + 255) // 256 * 256
+            )
+        c = int(counts[i])
+        if c > new[i]:
+            grown = (c * 5 // 4 + 255) // 256 * 256
+            ratio = max(ratio, grown / max(b, 1))
+            new[i] = max(new[i], grown)
+    return tuple(new)
+
+
 def enumerate_windows(
     img_w: int,
     img_h: int,
@@ -313,6 +336,69 @@ class Detector:
             )
         return self._fused_compile(plan)
 
+    # -- persistent budget store ------------------------------------------
+    # Survivor-lane budgets are shapes, so every budget change recompiles
+    # the fused program (~minutes cold over the tunnel).  Remembering the
+    # settled (trimmed or grown) budgets per plan key next to the XLA
+    # compilation cache means a fresh process builds the settled program
+    # directly — one compile per plan per machine, and that compile is a
+    # cache hit once any process has made it.  Best-effort: any IO error
+    # just falls back to defaults, and overflow-growth still protects a
+    # stale entry.
+
+    def _budget_store(self):
+        d = jax.config.jax_compilation_cache_dir
+        return os.path.join(d, "jda_budgets.json") if d else None
+
+    def _budget_key(self, key) -> str:
+        import hashlib
+
+        model_h = hashlib.sha1(
+            np.ascontiguousarray(self.params.cart_th).tobytes()
+        ).hexdigest()[:12]
+        mode = (
+            os.environ.get("JDA_TPU_TAIL", "gather"),
+            self._canvas_mode(),
+            os.environ.get("JDA_TPU_S0LBF", "1"),
+            os.environ.get("JDA_TPU_BUCKETS", "none"),
+        )
+        return repr((key, mode, model_h))
+
+    def _budget_load(self, key, n_entries: int):
+        path = self._budget_store()
+        if path is None:
+            return None
+        try:
+            import json
+
+            with open(path) as f:
+                store = json.load(f)
+            v = store.get(self._budget_key(key))
+            if v is not None and len(v) == n_entries:
+                return tuple(int(b) for b in v)
+        except (OSError, ValueError):
+            pass
+        return None
+
+    def _budget_save(self, plan):
+        path = self._budget_store()
+        if path is None:
+            return
+        try:
+            import json
+
+            store = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    store = json.load(f)
+            store[plan["bkey"]] = list(plan["budgets"])
+            tmp = path + ".tmp.%d" % os.getpid()
+            with open(tmp, "w") as f:
+                json.dump(store, f)
+            os.replace(tmp, path)
+        except (OSError, ValueError):
+            pass
+
     def _mxu_tail_enabled(self) -> bool:
         # Round-3 A/B on the real chip (scripts/tune_detect.py): the plain
         # gather tail runs VGA at 11.91 img/s vs 6.3-7.0 for every MXU
@@ -324,13 +410,21 @@ class Detector:
         return os.environ.get("JDA_TPU_TAIL", "gather") != "gather"
 
     def _canvas_mode(self) -> str:
-        """Survivor-canvas materialization: gather | rows | pallas
-        (ops/fused.make_fused_fn2).  pallas needs the TPU DMA kernel;
-        elsewhere it degrades to rows."""
+        """Survivor-canvas materialization: gather | rows
+        (ops/fused.make_fused_fn2).  The former "pallas" DMA canvas was
+        removed in round 5: it faulted the TPU worker process inside the
+        fused program (PERF.md r4) and lost every A/B it appeared in;
+        unknown values degrade to rows with a warning."""
         import os
 
         mode = os.environ.get("JDA_TPU_CANVAS", "rows")
-        if mode == "pallas" and jax.default_backend() != "tpu":
+        if mode not in ("gather", "rows"):
+            from jda_tpu.utils import LOG
+
+            LOG(
+                "JDA_TPU_CANVAS=%s is not a supported mode "
+                "(gather | rows); using rows" % mode
+            )
             return "rows"
         return mode
 
@@ -407,6 +501,10 @@ class Detector:
             if mxu_tail
             else F.default_budgets(len(x), B, self.T, self.K)
         )
+        stored = self._budget_load(key, len(budgets))
+        trimmed = stored is not None
+        if trimmed:
+            budgets = stored
         plan = {
             "x": x,
             "y": y,
@@ -420,6 +518,8 @@ class Detector:
             "tabs": tabs_dev,
             "static_tabs": static_tabs,
             "budgets": budgets,
+            "bkey": self._budget_key(key),
+            "trimmed": trimmed,
             "groups": groups,
             "use_pallas": use_pallas,
             "rounding": rounding,
@@ -494,15 +594,9 @@ class Detector:
             budgets = plan["budgets"]
             if all(int(counts[i]) <= budgets[i] for i in range(len(counts))):
                 return out
-            # jump straight to the measured population (+25% headroom):
-            # one recompile instead of a doubling ladder
-            plan["budgets"] = tuple(
-                max(b, (int(counts[i]) * 5 // 4 + 255) // 256 * 256)
-                if int(counts[i]) > b
-                else b
-                for i, b in enumerate(budgets)
-            )
+            plan["budgets"] = _grown_budgets(budgets, counts)
             plan["fn"] = None
+            self._budget_save(plan)
             self._fused_compile(plan)
 
     # -- core batched evaluation ------------------------------------------
@@ -1013,14 +1107,12 @@ class Detector:
 
         def grow_budgets(out):
             counts = np.asarray(out["counts"])
-            plan["budgets"] = tuple(
-                max(b, (int(counts[i]) * 5 // 4 + 255) // 256 * 256)
-                if int(counts[i]) > b
-                else b
-                for i, b in enumerate(plan["budgets"])
-            )
+            plan["budgets"] = _grown_budgets(plan["budgets"], counts)
             plan["fn"] = None
+            self._budget_save(plan)
             self._fused_compile(plan)
+
+        hwm = [0] * len(plan["budgets"])  # observed survivor high-water mark
 
         def harvest(entry):
             out, nv = entry
@@ -1030,6 +1122,8 @@ class Detector:
                 for i in range(len(counts))
             ):
                 return False  # overflow: caller re-runs this chunk
+            for i in range(len(hwm)):
+                hwm[i] = max(hwm[i], int(counts[i]))
             results.extend(
                 self._harvest_batch(plan, out, B, th, nms_overlap)[:nv]
             )
@@ -1055,7 +1149,45 @@ class Detector:
             else:
                 grow_budgets(pending[0])
                 pending = dispatch(chunks[-1])
+        if plan["n"] * B > 4096:  # small problems keep full-capacity lanes
+            self._maybe_trim_budgets(plan, hwm, chunks[-1], dispatch)
         return results
+
+    def _maybe_trim_budgets(self, plan, hwm, sample_chunk, dispatch):
+        """Shrink-to-fit the survivor lane budgets after a stream pass.
+
+        default_budgets sizes lanes for a worst-case trained cascade
+        (~2.5x slack measured on the VGA bench: 6656 budgeted vs ~2600
+        alive at the stage-0 compaction), and every padded lane pays full
+        gather+tree+regression cost in the survivor tail.  Once a stream
+        has observed real survivor populations, re-size each lane to
+        hwm * 11/8 (256-rounded) and recompile — the overflow path
+        (grow_budgets) still protects later, busier, inputs.  One warm
+        dispatch absorbs the XLA compile so the next stream runs trimmed
+        at full speed.  Opt out with JDA_TPU_BUDGET_TRIM=0."""
+        import os
+
+        if (
+            plan.get("trimmed")
+            or os.environ.get("JDA_TPU_BUDGET_TRIM", "1") == "0"
+            or not any(hwm)
+        ):
+            return
+        plan["trimmed"] = True
+        trimmed = tuple(
+            max(256, (h * 11 // 8 + 255) // 256 * 256)
+            for h in hwm
+        )
+        if all(t >= b for t, b in zip(trimmed, plan["budgets"])):
+            return
+        plan["budgets"] = tuple(
+            min(t, b) for t, b in zip(trimmed, plan["budgets"])
+        )
+        plan["fn"] = None
+        self._budget_save(plan)
+        self._fused_compile(plan)
+        out, _ = dispatch(sample_chunk)  # absorb the compile now
+        np.asarray(out["counts"])
 
 
 def detect(params: CascadeParams, gray: np.ndarray, **kw) -> DetectionResult:

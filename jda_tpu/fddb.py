@@ -75,6 +75,30 @@ def run_fddb(
     os.makedirs(out_dir, exist_ok=True)
     prefix = os.path.join(c.fddb_dir, "images")
 
+    # load every fold up front; images are the device batch axis (the
+    # reference parallelizes the FOLD loop with OpenMP, test.cpp:100;
+    # here each batch of images shares one fused cascade dispatch).  The
+    # canonical plane is computed over the WHOLE sweep, not per fold —
+    # folds with different max dims would otherwise each recompile the
+    # fused plan (round 4 paid 881 s of compiles on fold 1 alone).
+    by_fold = {}
+    for i in folds:
+        loaded = []
+        for path in read_fold(c.fddb_dir, i):
+            full = os.path.join(prefix, path + ".jpg")
+            img = cv2.imread(full)
+            if img is None:
+                log(f"Can not open {full}, Skip it")
+                continue
+            loaded.append((path, img, cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)))
+        by_fold[i] = loaded
+    B = int(os.environ.get("JDA_TPU_FDDB_BATCH", "8"))
+    canon = None
+    if any(by_fold.values()):
+        mh = max(g.shape[0] for ld in by_fold.values() for _, _, g in ld)
+        mw = max(g.shape[1] for ld in by_fold.values() for _, _, g in ld)
+        canon = (-(-mh // 128) * 128, -(-mw // 128) * 128)
+
     total_stat = DetectionStatistic()
     total_images = 0
     total_time = 0.0
@@ -91,24 +115,7 @@ def run_fddb(
                 gt = read_ellipses(c.fddb_dir, i)
             except OSError:
                 gt = {}
-        # load the fold up front; images are the device batch axis (the
-        # reference parallelizes the FOLD loop with OpenMP, test.cpp:100;
-        # here each batch of images shares one fused cascade dispatch)
-        loaded = []
-        for path in read_fold(c.fddb_dir, i):
-            full = os.path.join(prefix, path + ".jpg")
-            img = cv2.imread(full)
-            if img is None:
-                log(f"Can not open {full}, Skip it")
-                continue
-            loaded.append((path, img, cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)))
-        B = int(os.environ.get("JDA_TPU_FDDB_BATCH", "8"))
-        canon = None
-        if loaded:
-            # one canonical plane size per fold keeps a single compiled plan
-            mh = max(g.shape[0] for _, _, g in loaded)
-            mw = max(g.shape[1] for _, _, g in loaded)
-            canon = (-(-mh // 128) * 128, -(-mw // 128) * 128)
+        loaded = by_fold[i]
         batched_results = []
         import numpy as _np
 
