@@ -42,8 +42,11 @@ def main():
     from jda_tpu import oracle
 
     H, W = 480, 640
-    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-    NCHUNK = int(os.environ.get("BENCH_CHUNKS", "8"))
+    # B=16 is the round-5 sweet spot on the v5e tunnel: 25.8 img/s vs
+    # 22.7 (B=8, compute-amortization limited) and 23.5 (B=32, upload-
+    # bound at ~13 MB/s host->device)
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    NCHUNK = int(os.environ.get("BENCH_CHUNKS", "4"))
     REPS = int(os.environ.get("BENCH_REPS", "3"))
     kw = dict(scale=1.25, min_size=24, max_size=-1, th=-0.5)
 
@@ -113,7 +116,7 @@ def main():
     if os.environ.get("BENCH_1080", "1") != "0":
         try:
             Hh, Ww = 1080, 1920
-            B2 = int(os.environ.get("BENCH_1080_BATCH", "2"))
+            B2 = int(os.environ.get("BENCH_1080_BATCH", "4"))
             n_f = 4 * B2
             frames = [make_image(Hh, Ww, seed=31 + i) for i in range(n_f)]
             w1080 = len(

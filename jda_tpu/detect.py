@@ -355,6 +355,7 @@ class Detector:
 
         model_h = hashlib.sha1(
             np.ascontiguousarray(self.params.cart_th).tobytes()
+            + np.ascontiguousarray(self.params.feat_th).tobytes()
         ).hexdigest()[:12]
         mode = (
             os.environ.get("JDA_TPU_TAIL", "gather"),
@@ -365,6 +366,11 @@ class Detector:
         return repr((key, mode, model_h))
 
     def _budget_load(self, key, n_entries: int):
+        # trim disabled => stay on the deterministic default budgets
+        # (stored values are trim/grow products; loading them would
+        # recompile plans the defaults already have cached)
+        if os.environ.get("JDA_TPU_BUDGET_TRIM", "1") == "0":
+            return None
         path = self._budget_store()
         if path is None:
             return None

@@ -24,3 +24,9 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Budget trimming is a throughput optimization (smaller survivor lanes
+# after a warm stream) that costs one extra XLA compile per plan — pure
+# overhead for parity tests, where the suite is compile-bound.  Behavior
+# is covered explicitly by the trim/grow tests, which set it back on.
+os.environ.setdefault("JDA_TPU_BUDGET_TRIM", "0")

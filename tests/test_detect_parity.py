@@ -166,10 +166,12 @@ def test_detect_stream_matches_batch():
         rng.integers(
             0, 256, (100 + ((7 * i) % 30), 120 + ((5 * i) % 40))
         ).astype(np.uint8)
-        for i in range(19)
+        for i in range(11)  # 3 chunks of 4 incl. a ragged tail chunk
     ]
     det = Detector(m)
-    kw = dict(scale=1.3, min_size=24, th=-0.5)
+    # min_size=40: the chunking/padding/pipeline property under test is
+    # ladder-length-independent (suite is compile-bound)
+    kw = dict(scale=1.3, min_size=40, th=-0.5)
     rs = det.detect_stream(imgs, batch=4, **kw)
     assert len(rs) == len(imgs)
     # reference: per-chunk detect_batch padded to the stream's canonical

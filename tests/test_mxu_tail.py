@@ -155,7 +155,9 @@ def test_fused_v2_matches_v1_batch(canvas_mode):
     ]
     os.environ["JDA_TPU_CANVAS"] = canvas_mode
     try:
-        ref, new = _detect_both(m, grays, th=-5.0)
+        # min_size=40 trims the ladder to 4 scales — the v2-vs-v1 parity
+        # property does not need the full 24.. ladder (compile-bound)
+        ref, new = _detect_both(m, grays, th=-5.0, min_size=40)
     finally:
         os.environ.pop("JDA_TPU_CANVAS", None)
     assert sum(r.n for r in ref) > 0, "degenerate fixture: nothing detected"
@@ -174,7 +176,10 @@ def test_fused_v2_with_gather_group():
         T=2, K=8, landmark_n=9, tree_depth=4, seed=6, reject_rate=0.25
     )
     grays = [rng.integers(0, 256, (300, 320)).astype(np.uint8)]
-    ref, new = _detect_both(m, grays, th=-5.0)
+    # min_size=110 keeps the ladder short (110..266) while still crossing
+    # the 256 canvas-bucket limit — the property under test — instead of
+    # compiling/running the full 24.. ladder (suite is compile-bound)
+    ref, new = _detect_both(m, grays, th=-5.0, min_size=110)
     for r, v in zip(ref, new):
         assert r.n == v.n
         np.testing.assert_array_equal(r.bboxes, v.bboxes)

@@ -47,10 +47,12 @@ def test_rounding_ladder_fused_matches_gather(seed):
 
     old = os.environ.get("JDA_TPU_FUSED")
     try:
+        # min_size=40 -> 5-scale ladder: the fused-vs-gather agreement
+        # property is scale-count-independent (suite is compile-bound)
         os.environ["JDA_TPU_FUSED"] = "1"
-        rf = Detector(m, rounding=True).detect(img, th=-1.0)
+        rf = Detector(m, rounding=True).detect(img, th=-1.0, min_size=40)
         os.environ["JDA_TPU_FUSED"] = "0"
-        rg = Detector(m, rounding=True).detect(img, th=-1.0)
+        rg = Detector(m, rounding=True).detect(img, th=-1.0, min_size=40)
     finally:
         if old is None:
             os.environ.pop("JDA_TPU_FUSED", None)
@@ -69,8 +71,8 @@ def test_rounding_changes_decisions():
     otherwise the parity above tests nothing rounding-specific."""
     m = _model(seed=23)
     img = _image(seed=24)
-    rr = Detector(m, rounding=True).detect(img, th=-1.0)
-    rt = Detector(m, rounding=False).detect(img, th=-1.0)
+    rr = Detector(m, rounding=True).detect(img, th=-1.0, min_size=40)
+    rt = Detector(m, rounding=False).detect(img, th=-1.0, min_size=40)
     same = rr.n == rt.n and np.array_equal(rr.bboxes, rt.bboxes) and np.allclose(
         rr.scores, rt.scores, atol=1e-6
     )

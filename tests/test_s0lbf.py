@@ -139,8 +139,10 @@ def test_detect_batch_s0lbf_parity_v2_groups():
     grays = [rng.integers(0, 256, (300, 320)).astype(np.uint8)]
     os.environ["JDA_TPU_TAIL"] = "mxu"
     try:
-        ref = _detect_s0lbf(m, grays, "0", th=-5.0)
-        new = _detect_s0lbf(m, grays, "1", th=-5.0)
+        # min_size=110: ladder 110..266 still spans canvas buckets AND the
+        # >256 gather group (the property) at a fraction of the compile
+        ref = _detect_s0lbf(m, grays, "0", th=-5.0, min_size=110)
+        new = _detect_s0lbf(m, grays, "1", th=-5.0, min_size=110)
     finally:
         os.environ.pop("JDA_TPU_TAIL", None)
     for r, v in zip(ref, new):
