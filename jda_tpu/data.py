@@ -1107,10 +1107,14 @@ class NegGenerator:
             nega_n += int((~ok).sum())
             carts_n += int(nvis[~ok].sum())
             if adaptive:
+                # ladder headroom past 1.0: at 1.0 the round-4 flagship
+                # run saturated and stages 1-4 truncated 9-23 carts to
+                # mining exhaustion; the (1, 2] band maps to even-harder
+                # factory composites (train_flagship._d2)
                 rate = float(ok.mean())
                 if rate < 0.10:
                     self._hard_difficulty = min(
-                        1.0, self._hard_difficulty + 0.15
+                        2.0, self._hard_difficulty + 0.15
                     )
                 elif rate > 0.35:
                     self._hard_difficulty = max(

@@ -553,8 +553,9 @@ class CanvasHardMiner:
             xs[:], ys[:] = x0, y0
             return w, ys, xs, P
         # true face: boundary-IoU windows only.  lo rises with difficulty
-        # so candidates track the cascade's decision boundary.
-        lo = 0.22 + 0.20 * d
+        # so candidates track the cascade's decision boundary; clamped
+        # under hi so the band stays non-empty with the 2.0 ladder cap.
+        lo = min(0.22 + 0.20 * d, 0.44)
         hi = 0.48
         w = int(round(fs * rng.uniform(0.7, 1.6)))
         w = max(24, min(w, C))
@@ -653,10 +654,11 @@ class CanvasHardMiner:
                 acc.append(
                     (cv, int(ys[p]), int(xs[p]), w, shift_h[flat_i])
                 )
-            # adaptive difficulty (same policy as generate_hard)
+            # adaptive difficulty (same policy as generate_hard; headroom
+            # to 2.0 — see data.py generate_hard / train_flagship._d2)
             rate = naccept / max(nvalid, 1)
             if rate < 0.10:
-                g._hard_difficulty = min(1.0, g._hard_difficulty + 0.15)
+                g._hard_difficulty = min(2.0, g._hard_difficulty + 0.15)
             elif rate > 0.35:
                 g._hard_difficulty = max(0.0, g._hard_difficulty - 0.05)
 

@@ -264,6 +264,17 @@ def _lerp(a, b, d):
     return a + (b - a) * d
 
 
+def _d2(v1, v2, d):
+    """Extended-range value for difficulty d in [0, 2]: flat v1 through
+    d <= 1, then v1 -> v2 over (1, 2].  Round 4 trained with the ladder
+    pinned at 1.0 and still truncated stages 1-4 by 9-23 carts when the
+    near-miss pool ran dry (VERDICT r4 weak #3); the (1, 2] band keeps
+    hard-negative supply alive by pushing every knob toward the decision
+    boundary: jitter floors just above the positive band, thinner
+    occlusions, boundary-IoU windows pressed against the 0.48 line."""
+    return _lerp(v1, v2, max(0.0, min(d, 2.0) - 1.0))
+
+
 def make_near_miss(rng, size=48, difficulty=0.0, mode=None):
     """A pre-registered near-miss candidate for the hard-negative factory
     (NegGenerator.load_hard_factory).
@@ -297,17 +308,29 @@ def make_near_miss(rng, size=48, difficulty=0.0, mode=None):
 
     Like the reference's hard pool (data.cpp:893-897), every candidate is
     still validated by the current cascade before becoming a negative."""
-    d = float(np.clip(difficulty, 0.0, 1.0))
+    dd_ = float(np.clip(difficulty, 0.0, 2.0))
+    d = min(dd_, 1.0)
     mode = int(rng.integers(0, 5)) if mode is None else int(mode)
     R = int(rng.integers(size, 2 * size + 1))
     if mode == 2:
-        jitter = float(rng.uniform(_lerp(0.045, 0.028, d), _lerp(0.09, 0.045, d)))
+        jitter = float(
+            rng.uniform(
+                _d2(_lerp(0.045, 0.028, d), 0.023, dd_),
+                _d2(_lerp(0.09, 0.045, d), 0.034, dd_),
+            )
+        )
     else:
         jitter = 0.018
     face, _lm = _render_face(rng, R, jitter, raw=True)
     if mode == 3:
         y0 = int(rng.uniform(0.15, 0.6) * R)
-        hgt = int(rng.uniform(_lerp(0.20, 0.13, d), _lerp(0.35, 0.22, d)) * R)
+        hgt = int(
+            rng.uniform(
+                _d2(_lerp(0.20, 0.13, d), 0.09, dd_),
+                _d2(_lerp(0.35, 0.22, d), 0.15, dd_),
+            )
+            * R
+        )
         face[y0 : y0 + hgt] = int(rng.integers(40, 215))
     m = R  # margin wide enough for 2.5x off-scale windows
     Csz = 3 * R
@@ -330,7 +353,7 @@ def make_near_miss(rng, size=48, difficulty=0.0, mode=None):
         cx = fcx + np.cos(ang) * dd
         cy = fcx + np.sin(ang) * dd
     elif mode == 4:
-        lo = _lerp(0.25, 0.38, d)
+        lo = _d2(_lerp(0.25, 0.38, d), 0.44, dd_)
         cx = cy = fcx + 0.6 * R  # fallback, overwritten below
         w = R
         for _ in range(60):
@@ -378,7 +401,8 @@ def make_hard_canvas(rng, size=48, difficulty=0.0):
       kind 2  structural band occluded/erased — any registered window is
               a negative.
     """
-    d = float(np.clip(difficulty, 0.0, 1.0))
+    dd_ = float(np.clip(difficulty, 0.0, 2.0))
+    d = min(dd_, 1.0)
     # kind weights from the round-4 acceptance probe vs the stage-1
     # cascade (scripts/probe_neg_acceptance.py): geometry-misregistered
     # windows are rejected in ~3 carts (0% acceptance — the cascade nails
@@ -388,18 +412,40 @@ def make_hard_canvas(rng, size=48, difficulty=0.0):
     kind = int(rng.choice(3, p=[0.2, 0.5, 0.3]))
     R = int(rng.integers(size, 2 * size + 1))
     if kind == 1:
-        jitter = float(rng.uniform(_lerp(0.05, 0.026, d), _lerp(0.09, 0.04, d)))
+        jitter = float(
+            rng.uniform(
+                _d2(_lerp(0.05, 0.026, d), 0.022, dd_),
+                _d2(_lerp(0.09, 0.04, d), 0.032, dd_),
+            )
+        )
     else:
         jitter = 0.018
     face, _lm = _render_face(rng, R, jitter, raw=True)
     if kind == 2:
         y0 = int(rng.uniform(0.15, 0.6) * R)
-        hgt = int(rng.uniform(_lerp(0.20, 0.13, d), _lerp(0.35, 0.22, d)) * R)
+        hgt = int(
+            rng.uniform(
+                _d2(_lerp(0.20, 0.13, d), 0.09, dd_),
+                _d2(_lerp(0.35, 0.22, d), 0.15, dd_),
+            )
+            * R
+        )
         face[y0 : y0 + hgt] = int(rng.integers(40, 215))
     m = R  # margin wide enough for 1.6x off-scale windows at 0.75R offset
     Csz = 3 * R
     canvas = rng.integers(40, 215, (Csz, Csz)).astype(np.uint8)
     canvas[m : m + R, m : m + R] = face
+    # difficulty > 1: with rising probability, plant a second, smaller,
+    # OFF-MANIFOLD face in the margin — multi-face near-miss clutter (a
+    # window registered on it is a labeled negative, a window on the main
+    # face keeps its usual IoU constraint) that mining never saw at d<=1
+    if dd_ > 1.0 and rng.random() < 0.5 * (dd_ - 1.0):
+        R2 = max(24, int(R * rng.uniform(0.45, 0.7)))
+        face2, _ = _render_face(rng, R2, jitter=0.05, raw=True)
+        corner = int(rng.integers(0, 4))
+        oy = 0 if corner < 2 else Csz - R2
+        ox = 0 if corner % 2 == 0 else Csz - R2
+        canvas[oy : oy + R2, ox : ox + R2] = face2
     canvas = band_limit(canvas, R / 48.0)
     return canvas, (m, m, R), kind != 0
 
