@@ -40,6 +40,15 @@ from jda_tpu.ops import dense0 as D0
 from jda_tpu.ops import mxu_tail as MT
 
 
+def _gather_u8() -> bool:
+    """Tail descend gathers read u8 planes instead of int32 (¼ the bytes;
+    the B=8 VGA plane set then fits VMEM).  Values are cast to int32 after
+    the take — arithmetic identical.  A/B knob, read at trace time."""
+    import os
+
+    return os.environ.get("JDA_TPU_GATHER_U8", "0") != "0"
+
+
 def compact(alive: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack indices of alive lanes into a fixed [budget] buffer.
 
@@ -144,6 +153,11 @@ def make_fused_fn(
         xywin: jnp.ndarray,  # [n, 3] int32 window (x, y, win) in enumeration order
     ) -> Dict[str, jnp.ndarray]:
         B = imgs.shape[0]
+        # tail gathers read the u8 planes (2.46 MB/B=8 VGA vs 9.8 MB as
+        # int32 — small enough to stay VMEM-resident between gathers);
+        # values are cast to int32 AFTER the take, so the pixel-diff
+        # arithmetic is unchanged (JDA_TPU_GATHER_U8=0 restores int32)
+        imgs_u8 = imgs
         imgs = imgs.astype(jnp.int32)
         n = n_windows
 
@@ -192,7 +206,7 @@ def make_fused_fn(
         # increments beyond it (rides along through compactions)
         state["dnvis"] = state["nvis"]
 
-        flat_img = imgs.reshape(-1)
+        flat_img = (imgs_u8 if _gather_u8() else imgs).reshape(-1)
         K = dev["feat_th"].shape[1]
 
         # -- 3. stage-0 leaves: read back the dense filter's packed path
@@ -437,6 +451,7 @@ def make_fused_fn2(
         xywin: jnp.ndarray,  # [n, 3] int32
     ) -> Dict[str, jnp.ndarray]:
         B = imgs.shape[0]
+        imgs_u8 = imgs
         imgs = imgs.astype(jnp.int32)
         n = n_windows
 
@@ -475,7 +490,10 @@ def make_fused_fn2(
             inc = jnp.where(mask, state["nvis"] - state["dnvis"], 0)
             return nvis_img.at[bid].add(inc)
 
+        # canvas materialization stays int32 (MT.canvas_* contract); only
+        # the direct descend gathers read the u8 planes (see make_fused_fn)
         flat_img = imgs.reshape(-1)
+        flat_gather = (imgs_u8 if _gather_u8() else imgs).reshape(-1)
         outs = []  # per-group {sel, score, shape, alive, nvis}
         counts = []
 
@@ -586,7 +604,7 @@ def make_fused_fn2(
                 else:
                     leaves0, _ = C.carts_descend(
                         C.stage_params(dev, 0),
-                        flat_img,
+                        flat_gather,
                         state,
                         depth=depth,
                         rounding=rounding,
@@ -598,7 +616,7 @@ def make_fused_fn2(
                 for t in range(1, T):
                     state, leaves = C.run_cart_chunk(
                         C.stage_params(dev, t),
-                        flat_img,
+                        flat_gather,
                         state,
                         depth=depth,
                         rounding=rounding,
